@@ -1,0 +1,135 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from transformertts_tpu.dsp import (
+    denormalize_mel,
+    dynamic_range_compression,
+    hann_window,
+    mel_filterbank,
+    mel_spectrogram_jax,
+    mel_spectrogram_np,
+    normalize_mel,
+    stft_magnitude_np,
+)
+from transformertts_tpu.dsp.mel import dft_matrices
+
+AUDIO_KW = dict(sample_rate=22050, n_fft=1024, hop_length=256, win_length=1024,
+                fmin=0.0, fmax=8000.0, n_mels=80)
+
+
+def test_hann_window_periodic():
+    w = hann_window(1024)
+    # periodic (fftbins=True): w[0] == 0, and w does NOT end at 0 symmetric-style
+    assert w[0] == 0.0
+    assert abs(w[512] - 1.0) < 1e-6
+    # periodic hann of even length: sum == N/2
+    assert abs(w.sum() - 512.0) < 1e-3
+    # scipy cross-check
+    from scipy.signal import get_window
+
+    ref = get_window("hann", 1024, fftbins=True)
+    np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert fb.min() >= 0.0
+    # every filter has nonzero support
+    assert (fb.sum(axis=1) > 0).all()
+    # slaney normalization: approximately constant energy per filter band —
+    # peak amplitude decreases with center frequency
+    peaks = fb.max(axis=1)
+    assert peaks[0] > peaks[-1]
+    # no energy above fmax bin
+    freqs = np.linspace(0, 22050 / 2, 513)
+    assert fb[:, freqs > 8000.0 + 50].max() == 0.0
+
+
+def test_mel_filterbank_golden():
+    """Hand-derived golden values for the slaney (htk=False) filterbank.
+
+    mel_max = 15 + log(8)/ (log(6.4)/27) = 45.2453; 82 points step 0.558584;
+    mel pt1 -> 37.2389 Hz, pt2 -> 74.4779 Hz; fftfreq[1] = 21.5332 Hz;
+    filter0 weight at bin1 = (21.5332/37.2389) * 2/74.4779 = 0.0155277.
+    """
+    fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert abs(fb[0, 1] - 0.0155277) < 1e-5
+    # bin2 (43.066 Hz) sits past the filter-0 peak: upper ramp
+    # (74.4779-43.0664)/(74.4779-37.2389) * 2/74.4779 = 0.0226515
+    assert abs(fb[0, 2] - 0.0226515) < 1e-5
+    assert abs(fb[40].sum() - fb[41].sum()) / fb[40].sum() < 0.2
+
+
+def test_stft_sine_peak():
+    sr = 22050
+    t = np.arange(sr) / sr
+    freq = 48 * sr / 1024  # exactly on FFT bin 48 -> no leakage
+    y = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    S = stft_magnitude_np(y, 1024, 256, 1024)
+    assert S.shape == (513, 1 + sr // 256)
+    peak_bin = int(S[:, 10:-10].mean(axis=1).argmax())
+    assert peak_bin == 48
+    # peak magnitude of unit sine with hann window ~ N_win/4
+    assert abs(S[peak_bin, 20] - 256.0) / 256.0 < 0.05
+
+
+def test_stft_matches_scipy():
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(22050).astype(np.float32)
+    S = stft_magnitude_np(y, 1024, 256, 1024)
+    # scipy.signal.stft with matching params (scaling=None not available in
+    # old API -> use boundary/padded to mimic librosa centering)
+    from scipy.signal import stft as sp_stft
+
+    f, t, Z = sp_stft(
+        y, nperseg=1024, noverlap=1024 - 256, nfft=1024, window="hann",
+        boundary="even", padded=False, return_onesided=True,
+    )
+    # scipy normalizes by window.sum(); librosa doesn't
+    win_sum = hann_window(1024).sum()
+    n = min(S.shape[1], Z.shape[1])
+    # interior frames only (edge padding differs: reflect vs even)
+    np.testing.assert_allclose(
+        S[:, 4 : n - 4], np.abs(Z[:, 4 : n - 4]) * win_sum, rtol=2e-3, atol=2e-2
+    )
+
+
+def test_jax_matches_numpy():
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal(22050 // 2).astype(np.float32)
+    ref = mel_spectrogram_np(y, **AUDIO_KW)
+    out = np.asarray(mel_spectrogram_jax(jnp.asarray(y), **AUDIO_KW))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_jax_batched():
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((3, 8192)).astype(np.float32)
+    out = np.asarray(mel_spectrogram_jax(jnp.asarray(y), **AUDIO_KW))
+    assert out.shape == (3, 80, 1 + 8192 // 256)
+    single = np.asarray(mel_spectrogram_jax(jnp.asarray(y[1]), **AUDIO_KW))
+    np.testing.assert_allclose(out[1], single, rtol=1e-5, atol=1e-5)
+
+
+def test_compression_and_normalize_roundtrip():
+    S = np.array([[1e-7, 1.0, 10.0]])
+    c = dynamic_range_compression(S)
+    assert c[0, 0] == pytest.approx(np.log(1e-5))
+    mel = np.random.default_rng(4).standard_normal((80, 100))
+    norm = normalize_mel(mel, -2.0, 3.0)
+    back = denormalize_mel(norm, -2.0, 3.0)
+    np.testing.assert_allclose(back, mel, rtol=1e-6, atol=1e-6)
+
+
+def test_dft_matrices_match_rfft():
+    cos, sin = dft_matrices(256)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(256).astype(np.float32)
+    re = x @ cos
+    im = -(x @ sin)
+    ref = np.fft.rfft(x)
+    np.testing.assert_allclose(re, ref.real, atol=1e-3)
+    np.testing.assert_allclose(im, ref.imag, atol=1e-3)

@@ -1,0 +1,268 @@
+"""Typed, validated configuration system.
+
+The reference passes a raw ``yaml.safe_load`` dict around with no schema
+(ref: train.py:16, config.yaml:1-62, lightning_module.py:30).  Here the same
+YAML keys map onto frozen dataclasses with validation, defaults identical to
+the reference's ``config.yaml``, plus a TPU-specific ``runtime`` section
+(mesh axes, dtype policy, Pallas toggles, length buckets) the reference has
+no equivalent for.
+
+Dotted CLI overrides are supported: ``load_config(path, overrides=["training.batch_size=32"])``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class PathConfig:
+    # ref: config.yaml:4-7
+    data: str = "data/LJSpeech-1.1"
+    preprocessed: str = "preprocessed"
+    experiment: str = "experiment"
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    # ref: config.yaml:12-20
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    n_mels: int = 80
+    normalize_mel: bool = True
+
+    def validate(self) -> None:
+        if self.win_length > self.n_fft:
+            raise ValueError("win_length must be <= n_fft")
+        if not 0 <= self.fmin < self.fmax <= self.sample_rate / 2:
+            raise ValueError("need 0 <= fmin < fmax <= sr/2")
+        if self.hop_length <= 0 or self.n_mels <= 0:
+            raise ValueError("hop_length and n_mels must be positive")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # ref: config.yaml:25-42 and TransformerTTS.__init__ defaults
+    # (model/model.py:139-160: n_phon=100, n_mels=80 exist only as Python defaults)
+    encoder_prenet_n_layers: int = 3
+    encoder_prenet_kernel_size: int = 5
+    encoder_prenet_dropout: float = 0.5
+    encoder_n_layers: int = 3
+    encoder_n_head: int = 4
+    encoder_d_ffn: int = 1024
+    encoder_dropout: float = 0.1
+    decoder_prenet_dropout: float = 0.5
+    decoder_n_layers: int = 3
+    decoder_n_head: int = 4
+    decoder_d_ffn: int = 1024
+    decoder_dropout: float = 0.1
+    postnet_n_layers: int = 5
+    postnet_kernel_size: int = 5
+    postnet_dropout: float = 0.5
+    d_model: int = 256
+    n_phon: int = 100
+    n_mels: int = 80
+    max_len: int = 5000  # positional-encoding table size (ref: model/model.py:76)
+
+    def validate(self) -> None:
+        for side, heads in (("encoder", self.encoder_n_head), ("decoder", self.decoder_n_head)):
+            if self.d_model % heads != 0:
+                raise ValueError(f"d_model={self.d_model} not divisible by {side}_n_head={heads}")
+        if self.postnet_n_layers < 2:
+            raise ValueError("postnet needs >= 2 layers")
+        for name in ("encoder_prenet_kernel_size", "postnet_kernel_size"):
+            if getattr(self, name) % 2 != 1:
+                raise ValueError(f"{name} must be odd for same-padding")
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    # ref: config.yaml:47-58
+    seed: int = 42
+    batch_size: int = 16
+    num_workers: int = 4
+    weight_decay: float = 1e-6
+    max_patience: int = 50
+    num_epochs: int = 300
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 4000
+    grad_acc_steps: int = 4
+    log_interval: int = 100
+    teacher_forcing_mode: str = "linear"  # linear | cosine | constant
+    teacher_forcing_warmup_epochs: int = 10
+    scheduled_sampling_block: int = 8  # L_bar (ref: utils/util.py:117)
+
+    def validate(self) -> None:
+        if self.teacher_forcing_mode not in ("linear", "cosine", "constant"):
+            raise ValueError(f"bad teacher_forcing_mode: {self.teacher_forcing_mode}")
+        if self.batch_size <= 0 or self.grad_acc_steps <= 0:
+            raise ValueError("batch_size and grad_acc_steps must be positive")
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    # ref: config.yaml:60-61, loss.py:10
+    stop_weight: float = 8.0
+    post_mel_weight: float = 0.5  # ref: loss.py:40
+    # Guided-attention loss (not in the reference; BASELINE.json config 5)
+    guided_attn_weight: float = 0.0
+    guided_attn_sigma: float = 0.4
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU-specific runtime knobs (no reference equivalent; SURVEY.md §5.8)."""
+
+    compute_dtype: str = "bfloat16"  # activations/matmuls; params stay float32
+    use_pallas_attention: bool = False  # flash-attention Pallas kernel path
+    use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
+    mesh_data: int = -1  # -1 = all devices on the data axis
+    mesh_model: int = 1
+    # Static (phoneme, mel) padded-length buckets to bound recompilation
+    # under jit (SURVEY.md §7 hard part (v)).
+    phoneme_buckets: tuple[int, ...] = (32, 64, 96, 128, 192)
+    mel_buckets: tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896)
+    infer_max_len: int = 1500  # ref: model/model.py:328
+    stop_threshold: float = 0.5
+
+    def validate(self) -> None:
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
+        if list(self.phoneme_buckets) != sorted(self.phoneme_buckets) or not self.phoneme_buckets:
+            raise ValueError("phoneme_buckets must be sorted and non-empty")
+        if list(self.mel_buckets) != sorted(self.mel_buckets) or not self.mel_buckets:
+            raise ValueError("mel_buckets must be sorted and non-empty")
+
+
+@dataclass(frozen=True)
+class Config:
+    path: PathConfig = field(default_factory=PathConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def validate(self) -> "Config":
+        self.audio.validate()
+        self.model.validate()
+        self.training.validate()
+        self.runtime.validate()
+        if self.model.n_mels != self.audio.n_mels:
+            raise ValueError("model.n_mels must equal audio.n_mels")
+        return self
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=list)
+
+    def replace(self, **section_updates: Any) -> "Config":
+        return dataclasses.replace(self, **section_updates)
+
+
+_SECTIONS = {
+    "path": PathConfig,
+    "audio": AudioConfig,
+    "model": ModelConfig,
+    "training": TrainingConfig,
+    "loss": LossConfig,
+    "runtime": RuntimeConfig,
+}
+
+# Reference-YAML keys that do not map 1:1 onto our dataclasses
+# (ref config.yaml:27-28 widths always equal d_model in practice).
+_KEY_ALIASES = {
+    ("model", "encoder_prenet_in_channel"): None,  # implied by d_model
+    ("model", "encoder_prenet_out_channel"): None,
+}
+
+
+def _coerce(dc_cls: type, raw: dict[str, Any], section: str) -> Any:
+    fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+    kwargs: dict[str, Any] = {}
+    for key, value in raw.items():
+        if (section, key) in _KEY_ALIASES:
+            mapped = _KEY_ALIASES[(section, key)]
+            if mapped is None:
+                continue
+            key = mapped
+        if key not in fields:
+            raise ValueError(f"unknown config key {section}.{key}")
+        if isinstance(value, list):
+            value = tuple(value)
+        kwargs[key] = value
+    return dc_cls(**kwargs)
+
+
+def config_from_dict(raw: dict[str, Any]) -> Config:
+    sections: dict[str, Any] = {}
+    for name, value in (raw or {}).items():
+        if name not in _SECTIONS:
+            raise ValueError(f"unknown config section: {name}")
+        sections[name] = _coerce(_SECTIONS[name], value or {}, name)
+    return Config(**sections).validate()
+
+
+def _parse_scalar(text: str) -> Any:
+    return yaml.safe_load(text)
+
+
+def apply_overrides(cfg: Config, overrides: list[str] | None) -> Config:
+    for item in overrides or []:
+        key, _, value = item.partition("=")
+        if not _:
+            raise ValueError(f"override must look like section.key=value, got {item!r}")
+        section, _, leaf = key.strip().partition(".")
+        if section not in _SECTIONS or not leaf:
+            raise ValueError(f"bad override key {key!r}")
+        old_section = getattr(cfg, section)
+        parsed = _parse_scalar(value)
+        if isinstance(parsed, list):
+            parsed = tuple(parsed)
+        new_section = dataclasses.replace(old_section, **{leaf: parsed})
+        cfg = dataclasses.replace(cfg, **{section: new_section})
+    return cfg.validate()
+
+
+def load_config(path: str | Path | None = None, overrides: list[str] | None = None) -> Config:
+    """Load config from YAML (defaults mirror the reference's config.yaml)."""
+    if path is None:
+        cfg = Config().validate()
+    else:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        cfg = config_from_dict(raw)
+    return apply_overrides(cfg, overrides)
+
+
+def tiny_config() -> Config:
+    """BASELINE.json config 1: 2 enc/2 dec layers, d_model=128, CPU-runnable."""
+    cfg = Config()
+    return cfg.replace(
+        model=dataclasses.replace(
+            cfg.model,
+            encoder_n_layers=2,
+            decoder_n_layers=2,
+            d_model=128,
+            encoder_d_ffn=512,
+            decoder_d_ffn=512,
+        ),
+        runtime=dataclasses.replace(
+            cfg.runtime,
+            compute_dtype="float32",
+            phoneme_buckets=(16, 32),
+            mel_buckets=(64, 128),
+        ),
+    ).validate()
