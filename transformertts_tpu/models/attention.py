@@ -1,0 +1,139 @@
+"""Multi-head attention with torch-MHA-compatible semantics.
+
+Replaces the ATen fused attention the reference reaches through
+``nn.TransformerEncoder`` / its custom decoder (ref: model/model.py:197,
+model/layers.py:68).  Two compute paths:
+
+- XLA einsum path (default): softmax in fp32, optional per-head weight
+  capture for alignment diagnostics / guided-attention loss — matching the
+  reference decoder's ``need_weights=True, average_attn_weights=False``
+  (ref: model/layers.py:60-70).
+- Pallas flash path (``ops/pallas/flash_attention.py``): blockwise fused
+  kernel for long sequences; no weight capture (use it when alignments
+  aren't needed).
+
+Also exposes the projection submodules separately so the KV-cached decoder
+(infer/decode.py) can compute K/V once and reuse them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from transformertts_tpu.models.initializers import (
+    torch_linear_bias,
+    torch_linear_kernel,
+    xavier_uniform,
+)
+
+
+def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # (B, Tq, H, Dh)
+    k: jnp.ndarray,  # (B, Tk, H, Dh)
+    v: jnp.ndarray,  # (B, Tk, H, Dh)
+    bias: Optional[jnp.ndarray],  # broadcastable to (B, H, Tq, Tk)
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+    return_weights: bool = False,
+):
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    # scores in fp32 for a stable softmax regardless of compute dtype
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    weights = nn.softmax(scores, axis=-1)
+    weights_out = weights if return_weights else None
+    if dropout_rate > 0.0 and not deterministic:
+        import jax
+
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out, weights_out
+
+
+class MultiHeadAttention(nn.Module):
+    """torch nn.MultiheadAttention equivalent (batch_first, same-dim QKV).
+
+    Init matches torch: xavier_uniform in-projections with zero bias;
+    out-projection uses torch Linear defaults with zero bias
+    (torch MHA._reset_parameters).
+    """
+
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d_model,
+            kernel_init=xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = nn.Dense(
+            self.d_model,
+            kernel_init=torch_linear_kernel(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out_proj",
+        )
+
+    def project_kv(self, kv: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V projections split into heads — used to prebuild decode caches."""
+        k = split_heads(self.k_proj(kv), self.n_heads)
+        v = split_heads(self.v_proj(kv), self.n_heads)
+        return k, v
+
+    def attend(
+        self,
+        q_in: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        return_weights: bool = False,
+    ):
+        """Attention with already-projected K/V (KV-cache path)."""
+        q = split_heads(self.q_proj(q_in), self.n_heads)
+        rng = self.make_rng("dropout") if (self.dropout > 0 and train) else None
+        out, w = dot_product_attention(
+            q, k, v, bias, self.dropout, not train, rng, return_weights
+        )
+        return self.out_proj(merge_heads(out)), w
+
+    def __call__(
+        self,
+        q_in: jnp.ndarray,
+        kv_in: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        return_weights: bool = False,
+    ):
+        k, v = self.project_kv(kv_in)
+        return self.attend(q_in, k, v, bias, train, return_weights)

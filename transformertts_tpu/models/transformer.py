@@ -1,0 +1,188 @@
+"""Post-LN Transformer encoder/decoder stacks.
+
+Semantics mirror torch's ``TransformerEncoderLayer`` (norm_first=False,
+activation=relu) used by the reference (ref: model/model.py:189-200) and its
+custom decoder whose only delta is returning per-layer cross-attention
+weights (ref: model/layers.py:7-110):
+
+  encoder layer:  x = LN1(x + Drop(SelfAttn(x)))
+                  x = LN2(x + Drop(W2 Drop(relu(W1 x))))
+  decoder layer:  x = LN1(x + Drop(SelfAttn(x, causal+pad)))
+                  x = LN2(x + Drop(CrossAttn(x, memory, mem-pad)))  [weights kept]
+                  x = LN3(x + Drop(FFN(x)))
+
+FFN linears use torch nn.Linear default init; LayerNorm eps = 1e-5 (torch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from transformertts_tpu.models.attention import MultiHeadAttention
+from transformertts_tpu.models.initializers import torch_linear_bias, torch_linear_kernel
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ffn: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Dense(
+            self.d_ffn,
+            kernel_init=torch_linear_kernel(),
+            bias_init=torch_linear_bias(self.d_model),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        h = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(h))
+        h = nn.Dense(
+            self.d_model,
+            kernel_init=torch_linear_kernel(),
+            bias_init=torch_linear_bias(self.d_ffn),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(h)
+        return h
+
+
+def _layer_norm(dtype, name):
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
+        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
+        self.norm1 = _layer_norm(self.dtype, "norm1")
+        self.norm2 = _layer_norm(self.dtype, "norm2")
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+
+    def __call__(self, x, bias=None, train: bool = False):
+        sa, _ = self.self_attn(x, x, bias, train)
+        x = self.norm1(x + self.drop1(sa, deterministic=not train))
+        ff = self.ffn(x, train)
+        x = self.norm2(x + self.drop2(ff, deterministic=not train))
+        return x
+
+
+class Encoder(nn.Module):
+    n_layers: int
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None, train: bool = False):
+        for i in range(self.n_layers):
+            x = EncoderLayer(
+                self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
+                name=f"layer_{i}",
+            )(x, bias, train)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
+        self.cross_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
+        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
+        self.norm1 = _layer_norm(self.dtype, "norm1")
+        self.norm2 = _layer_norm(self.dtype, "norm2")
+        self.norm3 = _layer_norm(self.dtype, "norm3")
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+        self.drop3 = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x,
+        memory,
+        self_bias=None,
+        cross_bias=None,
+        train: bool = False,
+        return_alignments: bool = True,
+    ):
+        sa, _ = self.self_attn(x, x, self_bias, train)
+        x = self.norm1(x + self.drop1(sa, deterministic=not train))
+        ca, align = self.cross_attn(
+            x, memory, cross_bias, train, return_weights=return_alignments
+        )
+        x = self.norm2(x + self.drop2(ca, deterministic=not train))
+        ff = self.ffn(x, train)
+        x = self.norm3(x + self.drop3(ff, deterministic=not train))
+        return x, align
+
+    # --- KV-cached single/multi-step path (infer/decode.py) ---
+
+    def cached_step(self, x, self_k, self_v, cross_k, cross_v, self_bias, cross_bias):
+        """One decode step with precomputed K/V (no dropout: inference)."""
+        sa, _ = self.self_attn.attend(x, self_k, self_v, self_bias)
+        x = self.norm1(x + sa)
+        ca, _ = self.cross_attn.attend(x, cross_k, cross_v, cross_bias)
+        x = self.norm2(x + ca)
+        x = self.norm3(x + self.ffn(x))
+        return x
+
+    def project_self_kv(self, x):
+        return self.self_attn.project_kv(x)
+
+    def project_cross_kv(self, memory):
+        return self.cross_attn.project_kv(memory)
+
+
+class Decoder(nn.Module):
+    n_layers: int
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            DecoderLayer(
+                self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.n_layers)
+        ]
+
+    def __call__(
+        self,
+        x,
+        memory,
+        self_bias=None,
+        cross_bias=None,
+        train: bool = False,
+        return_alignments: bool = True,
+    ):
+        alignments = []
+        for layer in self.layers:
+            x, align = layer(x, memory, self_bias, cross_bias, train, return_alignments)
+            if return_alignments:
+                alignments.append(align)
+        # (L, B, H, T_mel, T_phon) stacked — reference returns a Python list
+        # per layer (model/layers.py:104-110); a stacked array is jit-friendly.
+        out_align = jnp.stack(alignments) if return_alignments else None
+        return x, out_align

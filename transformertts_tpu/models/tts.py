@@ -1,0 +1,146 @@
+"""The flagship TransformerTTS model (ref: model/model.py:138-394).
+
+Teacher-forced forward returns the same four outputs as the reference —
+pre-postnet mel, post-postnet mel (residual add), stop logits, per-layer
+cross-attention alignments — with static shapes throughout so the whole
+step jits onto the MXU.  Autoregressive decoding lives in
+``infer/decode.py`` (KV-cached ``lax.while_loop``; the reference re-runs
+the full decoder per frame, model/model.py:354-374).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from transformertts_tpu.config import ModelConfig
+from transformertts_tpu.models.masks import causal_bias, combine, padding_bias
+from transformertts_tpu.models.modules import (
+    DecoderPreNet,
+    EncoderPreNet,
+    LinearNorm,
+    PostNet,
+    ScaledPositionalEncoding,
+)
+from transformertts_tpu.models.transformer import Decoder, Encoder
+
+
+def shift_right(mel: jnp.ndarray) -> jnp.ndarray:
+    """Prepend zero go-frame, drop last frame (ref: model/model.py:278-279)."""
+    go = jnp.zeros_like(mel[:, :1, :])
+    return jnp.concatenate([go, mel[:, :-1, :]], axis=1)
+
+
+class TransformerTTS(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.emb = nn.Embed(
+            c.n_phon, c.d_model,
+            embedding_init=nn.initializers.normal(1.0),  # torch nn.Embedding N(0,1)
+            param_dtype=jnp.float32,
+            name="emb",
+        )
+        self.enc_prenet = EncoderPreNet(
+            c.encoder_prenet_n_layers, c.d_model, c.encoder_prenet_kernel_size,
+            c.encoder_prenet_dropout, self.dtype,
+        )
+        self.dec_prenet = DecoderPreNet(c.d_model, c.decoder_prenet_dropout, self.dtype)
+        # ONE shared PE module (shared alpha), used for both sides —
+        # reference quirk kept (ref: model/model.py:184-186, 288, 297).
+        self.pe = ScaledPositionalEncoding(c.d_model, 0.1, c.max_len, self.dtype)
+        self.encoder = Encoder(
+            c.encoder_n_layers, c.d_model, c.encoder_n_head, c.encoder_d_ffn,
+            c.encoder_dropout, self.dtype,
+        )
+        self.decoder = Decoder(
+            c.decoder_n_layers, c.d_model, c.decoder_n_head, c.decoder_d_ffn,
+            c.decoder_dropout, self.dtype,
+        )
+        self.postnet = PostNet(
+            c.postnet_n_layers, c.n_mels, c.d_model, c.postnet_kernel_size,
+            c.postnet_dropout, self.dtype,
+        )
+        self.mel_linear = LinearNorm(c.n_mels, dtype=self.dtype)  # ref linear1
+        self.stop_linear = LinearNorm(1, dtype=self.dtype)  # ref linear2
+
+    def encode(
+        self,
+        phoneme: jnp.ndarray,  # (B, T_phon) int32
+        phoneme_lens: Optional[jnp.ndarray],  # (B,) or None => no padding mask
+        train: bool = False,
+    ) -> jnp.ndarray:
+        src_bias = (
+            padding_bias(phoneme_lens, phoneme.shape[1]) if phoneme_lens is not None else None
+        )
+        x = self.emb(phoneme).astype(self.dtype)
+        x = self.pe(self.enc_prenet(x, train), train)
+        return self.encoder(x, src_bias, train)
+
+    def decode(
+        self,
+        memory: jnp.ndarray,  # (B, T_phon, D)
+        tgt_in: jnp.ndarray,  # (B, T_mel, n_mels) shifted-right mel
+        phoneme_lens: Optional[jnp.ndarray],
+        mel_lens: Optional[jnp.ndarray],
+        train: bool = False,
+        return_alignments: bool = True,
+    ):
+        t_mel = tgt_in.shape[1]
+        self_bias = combine(
+            causal_bias(t_mel),
+            padding_bias(mel_lens, t_mel) if mel_lens is not None else None,
+        )
+        cross_bias = (
+            padding_bias(phoneme_lens, memory.shape[1]) if phoneme_lens is not None else None
+        )
+        x = self.pe(self.dec_prenet(tgt_in.astype(self.dtype), train), train)
+        return self.decoder(x, memory, self_bias, cross_bias, train, return_alignments)
+
+    def __call__(
+        self,
+        phoneme: jnp.ndarray,
+        melspec: jnp.ndarray,
+        phoneme_lens: jnp.ndarray,
+        melspec_lens: jnp.ndarray,
+        train: bool = False,
+        return_alignments: bool = True,
+    ) -> dict:
+        """Teacher-forced forward (ref: model/model.py:260-320)."""
+        tgt_in = shift_right(melspec)
+        memory = self.encode(phoneme, phoneme_lens, train)
+        tgt_out, alignments = self.decode(
+            memory, tgt_in, phoneme_lens, melspec_lens, train, return_alignments
+        )
+        pred_melspec = self.mel_linear(tgt_out)
+        post_melspec = self.postnet(pred_melspec, train) + pred_melspec
+        pred_stop = self.stop_linear(tgt_out)[..., 0]
+        out = {
+            "pred_melspec": pred_melspec.astype(jnp.float32),
+            "post_melspec": post_melspec.astype(jnp.float32),
+            "pred_stop": pred_stop.astype(jnp.float32),
+        }
+        if return_alignments:
+            out["alignments"] = alignments.astype(jnp.float32)
+        return out
+
+    # --- hooks used by infer/decode.py through nn.apply(method=...) ---
+
+    def prenet_step(self, frame: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
+        """Decoder prenet + positional encoding for one frame at `step`."""
+        x = self.dec_prenet(frame.astype(self.dtype), False)
+        return self.pe(x, False, offset=step)
+
+    def build_cross_cache(self, memory: jnp.ndarray):
+        return [layer.project_cross_kv(memory) for layer in self.decoder.layers]
+
+    def decode_frame_heads(self, x: jnp.ndarray):
+        """Final projections for one decoded hidden frame."""
+        return self.mel_linear(x), self.stop_linear(x)[..., 0]
+
+    def apply_postnet(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.postnet(mel, False) + mel
