@@ -1,0 +1,105 @@
+"""Smoke test: tiny config trains on synthetic data, loss decreases.
+
+(SURVEY.md §4: integration test = tiny config on CPU to loss-decrease;
+BASELINE.json config 1.)
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformertts_tpu.config import tiny_config
+from transformertts_tpu.models import TransformerTTS
+from transformertts_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from transformertts_tpu.train.train_step import count_params
+
+K, B, TP, TM, C = 2, 4, 16, 64, 80
+
+
+def synthetic_batch(rng, k=K, b=B):
+    """Deterministic phoneme->mel mapping so the model can actually learn."""
+    phoneme = rng.integers(1, 60, (k, b, TP)).astype(np.int32)
+    # target mel = smooth function of a repeated phoneme pattern
+    t_idx = np.arange(TM)[None, None, :, None] / TM
+    phon_val = phoneme[..., None, :TP].mean(-1)[..., None, None]
+    mel_idx = np.arange(C)[None, None, None, :] / C
+    melspec = np.sin(phon_val * 0.3 + 6 * t_idx + 3 * mel_idx).astype(np.float32)
+    return {
+        "phoneme": phoneme,
+        "melspec": melspec.reshape(k, b, TM, C).astype(np.float32),
+        "phoneme_lens": np.full((k, b), TP, np.int32),
+        "melspec_lens": np.full((k, b), TM, np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    # short Noam warmup so the LR is non-negligible within a few steps
+    cfg = cfg.replace(training=dataclasses.replace(cfg.training, warmup_steps=15))
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    return cfg, model, batch, state
+
+
+def test_param_count_reasonable(setup):
+    _, _, _, state = setup
+    n = count_params(state.params)
+    assert 1_000_000 < n < 20_000_000
+
+
+def test_loss_decreases(setup):
+    cfg, model, batch, state = setup
+    step = make_train_step(model, cfg, scheduled_sampling=False, donate=False)
+    rng = jax.random.PRNGKey(42)
+    first = None
+    n_steps = 30
+    for i in range(n_steps):
+        state, metrics = step(state, batch, 1.0, rng)
+        if i == 0:
+            first = float(metrics["total"])
+    last = float(metrics["total"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
+    assert int(state.step) == n_steps
+
+
+def test_scheduled_sampling_step_runs(setup):
+    cfg, model, batch, state = setup
+    step = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+    state2, metrics = step(state, batch, 0.7, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    # batch stats must have been updated by BOTH forwards
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.batch_stats, state2.batch_stats
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_eval_step(setup):
+    cfg, model, batch, state = setup
+    ev = make_eval_step(model, cfg)
+    micro = {name: arr[0] for name, arr in batch.items()}
+    metrics = ev(state, micro)
+    for key in ("total", "pred_mel", "post_mel", "stop", "diagonality", "mel_l1"):
+        assert np.isfinite(float(metrics[key])), key
+    assert 0.0 <= float(metrics["diagonality"]) <= 1.0
+
+
+def test_guided_attention_in_train(setup):
+    cfg, model, batch, state = setup
+    cfg2 = cfg.replace(loss=dataclasses.replace(cfg.loss, guided_attn_weight=1.0))
+    step = make_train_step(model, cfg2, scheduled_sampling=False, donate=False)
+    _, metrics = step(state, batch, 1.0, jax.random.PRNGKey(2))
+    assert "guided_attn" in metrics
+    assert float(metrics["guided_attn"]) > 0

@@ -109,21 +109,28 @@ class TransformerTTS(nn.Module):
         melspec_lens: jnp.ndarray,
         train: bool = False,
         return_alignments: bool = True,
+        compute_postnet: bool = True,
     ) -> dict:
-        """Teacher-forced forward (ref: model/model.py:260-320)."""
+        """Teacher-forced forward (ref: model/model.py:260-320).
+
+        ``compute_postnet=False`` skips the postnet (used by the first,
+        gradient-free scheduled-sampling pass, which only needs
+        ``pred_melspec`` — lightning_module.py:53-59 computes it anyway).
+        """
         tgt_in = shift_right(melspec)
         memory = self.encode(phoneme, phoneme_lens, train)
         tgt_out, alignments = self.decode(
             memory, tgt_in, phoneme_lens, melspec_lens, train, return_alignments
         )
         pred_melspec = self.mel_linear(tgt_out)
-        post_melspec = self.postnet(pred_melspec, train) + pred_melspec
         pred_stop = self.stop_linear(tgt_out)[..., 0]
         out = {
             "pred_melspec": pred_melspec.astype(jnp.float32),
-            "post_melspec": post_melspec.astype(jnp.float32),
             "pred_stop": pred_stop.astype(jnp.float32),
         }
+        if compute_postnet:
+            post_melspec = self.postnet(pred_melspec, train) + pred_melspec
+            out["post_melspec"] = post_melspec.astype(jnp.float32)
         if return_alignments:
             out["alignments"] = alignments.astype(jnp.float32)
         return out

@@ -1,0 +1,226 @@
+"""Jitted training/eval steps.
+
+One call == one optimizer step == ``grad_acc_steps`` micro-batches scanned
+inside the jit (ref: Lightning accumulate_grad_batches=4, train.py:42) —
+gradients are averaged, then clip(1.0) -> Adam(0.9, 0.98, 1e-9) with L2
+weight decay folded into the gradient (torch Adam semantics) x Noam LR
+(ref: lightning_module.py:160-177).
+
+Scheduled sampling follows the reference's two-forward recipe
+(lightning_module.py:53-77): a gradient-free train-mode forward produces
+``pred_melspec`` (BatchNorm running stats update, dropout active), block-wise
+mixing replaces GT frames, then the real forward + loss.  Both forwards live
+in the same jit; the first skips postnet/alignments (its outputs are unused).
+
+Everything is mesh-agnostic: pass sharded arrays + sharded TrainState and
+GSPMD inserts the collectives (grad allreduce over ICI for DP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from transformertts_tpu.config import Config
+from transformertts_tpu.models.tts import TransformerTTS
+from transformertts_tpu.train.loss import (
+    alignment_diagonality,
+    guided_attention_loss,
+    tts_loss,
+)
+from transformertts_tpu.train.sampling import apply_teacher_forcing
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+
+
+def make_optimizer(cfg: Config):
+    from transformertts_tpu.train.schedules import noam_schedule
+
+    t = cfg.training
+    return optax.chain(
+        optax.clip_by_global_norm(t.max_grad_norm),
+        optax.add_decayed_weights(t.weight_decay),  # torch Adam weight_decay
+        optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
+        optax.scale_by_schedule(noam_schedule(cfg.model.d_model, t.warmup_steps)),
+        optax.scale(-1.0),
+    )
+
+
+def create_train_state(
+    model: TransformerTTS,
+    cfg: Config,
+    rng: jax.Array,
+    example_batch: dict,
+    optimizer=None,
+) -> TrainState:
+    micro = jax.tree.map(lambda x: x[0] if x.ndim > 1 else x, example_batch)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        micro["phoneme"],
+        micro["melspec"],
+        micro["phoneme_lens"],
+        micro["melspec_lens"],
+        train=False,
+    )
+    optimizer = optimizer or make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        opt_state=optimizer.init(variables["params"]),
+    )
+
+
+def _micro_loss(
+    model: TransformerTTS,
+    cfg: Config,
+    params,
+    batch_stats,
+    batch: dict,
+    p_tf,
+    rng: jax.Array,
+    scheduled_sampling: bool,
+):
+    phoneme = batch["phoneme"]
+    melspec = batch["melspec"]
+    p_lens = batch["phoneme_lens"]
+    m_lens = batch["melspec_lens"]
+    r1, r2, r_mask = jax.random.split(rng, 3)
+
+    target_in = melspec
+    if scheduled_sampling:
+        # forward #1: gradient-free, train-mode (dropout + BN updates), no postnet
+        out1, upd1 = model.apply(
+            {"params": jax.lax.stop_gradient(params), "batch_stats": batch_stats},
+            phoneme, melspec, p_lens, m_lens,
+            train=True, return_alignments=False, compute_postnet=False,
+            rngs={"dropout": r1}, mutable=["batch_stats"],
+        )
+        batch_stats = upd1["batch_stats"]
+        target_in = apply_teacher_forcing(
+            r_mask, out1["pred_melspec"], melspec, m_lens, p_tf,
+            cfg.training.scheduled_sampling_block,
+        )
+
+    need_align = cfg.loss.guided_attn_weight > 0.0
+
+    def loss_fn(p):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            phoneme, target_in, p_lens, m_lens,
+            train=True, return_alignments=need_align,
+            rngs={"dropout": r2}, mutable=["batch_stats"],
+        )
+        losses = tts_loss(
+            out, melspec, m_lens, cfg.loss.stop_weight, cfg.loss.post_mel_weight
+        )
+        total = losses["total"]
+        if need_align:
+            ga = guided_attention_loss(
+                out["alignments"], m_lens, p_lens, cfg.loss.guided_attn_sigma
+            )
+            losses["guided_attn"] = ga
+            total = total + cfg.loss.guided_attn_weight * ga
+        losses["total"] = total
+        return total, (losses, upd["batch_stats"])
+
+    grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+    return grads, losses, new_stats
+
+
+def make_train_step(
+    model: TransformerTTS,
+    cfg: Config,
+    optimizer=None,
+    scheduled_sampling: bool = True,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted fn(state, batch, p_tf, rng) -> (state, metrics).
+
+    ``batch`` arrays carry a leading ``grad_acc_steps`` axis:
+    phoneme (K, B, T_p) int32; melspec (K, B, T_m, n_mels) float32;
+    phoneme_lens/melspec_lens (K, B) int32.
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def step_fn(state: TrainState, batch: dict, p_tf, rng: jax.Array):
+        k = batch["phoneme"].shape[0]
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), k)
+
+        def micro_step(carry, xs):
+            acc_grads, batch_stats = carry
+            micro_batch, micro_rng = xs
+            grads, losses, batch_stats = _micro_loss(
+                model, cfg, state.params, batch_stats, micro_batch, p_tf,
+                micro_rng, scheduled_sampling,
+            )
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+            return (acc_grads, batch_stats), losses
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (acc_grads, new_stats), losses = jax.lax.scan(
+            micro_step, (zero_grads, state.batch_stats), (batch, rngs)
+        )
+        grads = jax.tree.map(lambda g: g / k, acc_grads)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {name: jnp.mean(val) for name, val in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: TransformerTTS, cfg: Config, with_outputs: bool = False):
+    """Teacher-forced validation step (ref: lightning_module.py:102-131)."""
+
+    def eval_fn(state: TrainState, batch: dict):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["phoneme"], batch["melspec"],
+            batch["phoneme_lens"], batch["melspec_lens"],
+            train=False, return_alignments=True,
+        )
+        losses = tts_loss(
+            out, batch["melspec"], batch["melspec_lens"],
+            cfg.loss.stop_weight, cfg.loss.post_mel_weight,
+        )
+        metrics = dict(losses)
+        metrics["diagonality"] = alignment_diagonality(
+            out["alignments"], batch["melspec_lens"], batch["phoneme_lens"]
+        )
+        mel_l1 = jnp.abs(out["post_melspec"] - batch["melspec"])
+        from transformertts_tpu.models.masks import lengths_to_valid_mask
+
+        valid = lengths_to_valid_mask(batch["melspec_lens"], mel_l1.shape[1])[:, :, None]
+        metrics["mel_l1"] = jnp.sum(jnp.where(valid, mel_l1, 0.0)) / jnp.maximum(
+            jnp.sum(valid) * mel_l1.shape[-1], 1
+        )
+        if with_outputs:
+            return metrics, out
+        return metrics
+
+    return jax.jit(eval_fn, static_argnums=())
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
