@@ -1,0 +1,86 @@
+"""KV-cached decode == the reference's cacheless recompute (dropout off)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformertts_tpu.config import tiny_config
+from transformertts_tpu.infer import make_decode_fn, naive_decode
+from transformertts_tpu.models import TransformerTTS
+
+CFG = tiny_config()
+B, TP, MAX_LEN = 2, 12, 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TransformerTTS(CFG.model)
+    rng = np.random.default_rng(0)
+    phoneme = jnp.asarray(rng.integers(1, 60, (B, TP)), jnp.int32)
+    lens = jnp.array([TP, TP - 3])
+    mel = jnp.zeros((B, 32, CFG.model.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, mel, lens, jnp.array([32, 32]), train=False,
+    )
+    return model, variables, phoneme, lens
+
+
+def test_cached_equals_naive(setup):
+    model, variables, phoneme, lens = setup
+    # threshold 2.0: sigmoid can never reach it -> both run to max_len
+    decode = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)
+    fast = decode(variables, phoneme, lens)
+    slow = naive_decode(model, variables, phoneme, lens, MAX_LEN, stop_threshold=2.0)
+
+    assert int(fast["n_frames"]) == MAX_LEN
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_melspec"][:, :MAX_LEN]),
+        np.asarray(slow["pred_melspec"]),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_stop"][:, :MAX_LEN]),
+        np.asarray(slow["pred_stop"]),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["post_melspec"][:, :MAX_LEN]),
+        np.asarray(slow["post_melspec"][:, :MAX_LEN]),
+        atol=5e-4,
+    )
+
+
+def test_early_stop(setup):
+    model, variables, phoneme, lens = setup
+    # force a hugely positive stop bias => every row stops at the first frame
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    from flax.core import unfreeze, freeze
+    import flax
+
+    p = unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    p["stop_linear"]["Dense_0"]["bias"] = jnp.array([100.0])
+    variables2 = dict(variables)
+    variables2["params"] = p
+
+    decode = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=0.5)
+    out = decode(variables2, phoneme, lens)
+    assert int(out["n_frames"]) == 1
+    # frames beyond n_frames stay zero (pre-postnet)
+    assert float(jnp.abs(out["pred_melspec"][:, 1:]).max()) == 0.0
+
+
+def test_decode_is_jitted_once(setup):
+    model, variables, phoneme, lens = setup
+    decode = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)
+    out1 = decode(variables, phoneme, lens)
+    # second call with different data: same shapes => no recompile (fast path)
+    out2 = decode(variables, phoneme + 1, lens)
+    assert out1["pred_melspec"].shape == out2["pred_melspec"].shape
+    assert (
+        np.abs(np.asarray(out1["pred_melspec"]) - np.asarray(out2["pred_melspec"])).max()
+        > 1e-6
+    )

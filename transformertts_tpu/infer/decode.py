@@ -1,0 +1,173 @@
+"""KV-cached autoregressive greedy mel decoding.
+
+The reference re-runs the FULL decoder over all frames generated so far at
+every step — O(T^2) decoder invocations with no KV cache, rebuilding masks
+each step (ref: model/model.py:354-374).  Here the whole decode is one jitted
+``lax.while_loop`` with:
+
+- cross-attention K/V computed ONCE from the encoder memory per layer;
+- per-layer self-attention K/V ring buffers of static size ``max_len``,
+  updated in place via ``dynamic_update_slice`` (donated, so XLA keeps them
+  in HBM without copies);
+- the reference's stopping rule: greedy feedback of the PRE-postnet frame,
+  stop when ``sigmoid(stop) >= threshold`` for ALL batch rows, cap at
+  ``max_len`` (model/model.py:382-384);
+- the reference's quirk of running the encoder WITHOUT the source padding
+  mask at inference (model/model.py:345-348) is kept (flag);
+- postnet applied once at the end over the full buffer (model/model.py:388).
+
+Matches the reference's math exactly (dropout off => recompute == cache);
+``tests/test_decode.py`` checks cached == naive-recompute equivalence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from transformertts_tpu.config import Config
+from transformertts_tpu.models.masks import NEG_INF, padding_bias
+from transformertts_tpu.models.tts import TransformerTTS
+
+
+def _self_bias_at(t: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(1, 1, 1, max_len) bias: cache positions > t are invalid."""
+    return jnp.where(jnp.arange(max_len)[None, None, None, :] <= t, 0.0, NEG_INF)
+
+
+def make_decode_fn(
+    model: TransformerTTS,
+    cfg: Config,
+    max_len: Optional[int] = None,
+    stop_threshold: Optional[float] = None,
+    mask_encoder_source: bool = False,
+):
+    """Returns jitted fn(variables, phoneme, phoneme_lens) -> dict with
+    pred_melspec/post_melspec (B, max_len, n_mels), pred_stop, n_frames.
+
+    Frames at positions >= n_frames are padding (zeros pre-postnet).
+    """
+    max_len = max_len or cfg.runtime.infer_max_len
+    stop_threshold = (
+        stop_threshold if stop_threshold is not None else cfg.runtime.stop_threshold
+    )
+    n_layers = cfg.model.decoder_n_layers
+    n_heads = cfg.model.decoder_n_head
+    d_head = cfg.model.d_model // n_heads
+    n_mels = cfg.model.n_mels
+
+    def decode(variables, phoneme: jnp.ndarray, phoneme_lens: jnp.ndarray):
+        b = phoneme.shape[0]
+        bound = model.bind(variables)
+
+        # encoder once; reference runs it unmasked at inference
+        memory = bound.encode(
+            phoneme, phoneme_lens if mask_encoder_source else None, train=False
+        )
+        cross_kv = bound.build_cross_cache(memory)  # L x ((B,Tp,H,Dh) x2)
+        cross_bias = padding_bias(phoneme_lens, phoneme.shape[1])
+
+        dtype = memory.dtype
+        init = {
+            "t": jnp.zeros((), jnp.int32),
+            "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
+            "stops": jnp.full((b, max_len), NEG_INF, jnp.float32),
+            "stopped": jnp.zeros((b,), bool),
+            "self_k": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
+            "self_v": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
+        }
+
+        def cond(s):
+            return (s["t"] < max_len) & ~jnp.all(s["stopped"])
+
+        def body(s):
+            t = s["t"]
+            frame = jax.lax.dynamic_slice_in_dim(s["frames"], t, 1, axis=1)
+            x = bound.prenet_step(frame, t)  # (B, 1, D)
+
+            self_bias = _self_bias_at(t, max_len)
+            self_k, self_v = s["self_k"], s["self_v"]
+            for li, layer in enumerate(bound.decoder.layers):
+                k_new, v_new = layer.project_self_kv(x)  # (B,1,H,Dh)
+                self_k = jax.lax.dynamic_update_slice(
+                    self_k, k_new[None].astype(self_k.dtype), (li, 0, t, 0, 0)
+                )
+                self_v = jax.lax.dynamic_update_slice(
+                    self_v, v_new[None].astype(self_v.dtype), (li, 0, t, 0, 0)
+                )
+                ck, cv = cross_kv[li]
+                x = layer.cached_step(
+                    x, self_k[li], self_v[li], ck, cv, self_bias, cross_bias
+                )
+
+            mel_t, stop_t = bound.decode_frame_heads(x)  # (B,1,C), (B,1)
+            frames = jax.lax.dynamic_update_slice(
+                s["frames"], mel_t.astype(jnp.float32), (0, t + 1, 0)
+            )
+            stops = jax.lax.dynamic_update_slice(
+                s["stops"], stop_t.astype(jnp.float32), (0, t)
+            )
+            stopped = s["stopped"] | (jax.nn.sigmoid(stop_t[:, 0]) >= stop_threshold)
+            return {
+                "t": t + 1,
+                "frames": frames,
+                "stops": stops,
+                "stopped": stopped,
+                "self_k": self_k,
+                "self_v": self_v,
+            }
+
+        final = jax.lax.while_loop(cond, body, init)
+        n_frames = final["t"]
+        pred = final["frames"][:, 1:, :]  # drop go frame
+        # zero garbage-free: positions >= n_frames are already zeros
+        post = bound.apply_postnet(pred).astype(jnp.float32)
+        return {
+            "pred_melspec": pred,
+            "post_melspec": post,
+            "pred_stop": final["stops"],
+            "n_frames": n_frames,
+        }
+
+    return jax.jit(decode)
+
+
+def naive_decode(
+    model: TransformerTTS,
+    variables,
+    phoneme: jnp.ndarray,
+    phoneme_lens: jnp.ndarray,
+    max_len: int,
+    stop_threshold: float = 0.5,
+):
+    """Cacheless re-compute decode mirroring the reference's inference loop
+    (model/model.py:354-374).  Slow (recompiles per length) — used as the
+    equivalence oracle in tests."""
+    bound = model.bind(variables)
+    memory = bound.encode(phoneme, None, train=False)
+    b = phoneme.shape[0]
+    frames = [jnp.zeros((b, 1, model.cfg.n_mels), jnp.float32)]
+    stops = []
+    for t in range(1, max_len + 1):
+        tgt_in = jnp.concatenate(frames, axis=1)  # (B, t, C)
+        # full decoder over the whole prefix, causal + memory padding masks
+        tgt_out, _ = bound.decode(
+            memory, tgt_in, phoneme_lens,
+            jnp.full((b,), t, jnp.int32), train=False, return_alignments=False,
+        )
+        mel_t, stop_t = bound.decode_frame_heads(tgt_out[:, -1:, :])
+        frames.append(mel_t.astype(jnp.float32))
+        stops.append(stop_t.astype(jnp.float32))
+        if bool(jnp.all(jax.nn.sigmoid(stop_t[:, 0]) >= stop_threshold)):
+            break
+    pred = jnp.concatenate(frames[1:], axis=1)
+    post = bound.apply_postnet(pred).astype(jnp.float32)
+    return {
+        "pred_melspec": pred,
+        "post_melspec": post,
+        "pred_stop": jnp.concatenate(stops, axis=1),
+        "n_frames": pred.shape[1],
+    }
