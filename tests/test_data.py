@@ -1,0 +1,148 @@
+import json
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from transformertts_tpu.config import load_config
+from transformertts_tpu.data import BucketedLoader, LJSpeechDataset, load_stats, pick_bucket
+from transformertts_tpu.data.audio_io import load_wav
+from transformertts_tpu.data.preprocess import load_transcripts, preprocess
+
+
+def write_wav(path, y, sr=22050):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(y, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Tiny fake LJSpeech corpus + run of the real preprocess pipeline."""
+    root = tmp_path_factory.mktemp("lj")
+    (root / "wavs").mkdir()
+    rng = np.random.default_rng(0)
+    ids = [f"LJ001-{i:04d}" for i in range(4)] + [f"LJ050-{i:04d}" for i in range(8)]
+    lines = []
+    for i, audio_id in enumerate(ids):
+        dur = 4000 + 3000 * (i % 3)
+        write_wav(root / "wavs" / f"{audio_id}.wav", rng.standard_normal(dur) * 0.1)
+        lines.append(f"{audio_id}|Some text {i}|Some text {i}")
+    (root / "metadata.csv").write_text("\n".join(lines))
+
+    out = root / "preprocessed"
+    cfg = load_config(None, [f"path.data={root}", f"path.preprocessed={out}"])
+    preprocess(cfg)
+    return root, out, cfg
+
+
+def test_wav_roundtrip(tmp_path):
+    y = np.sin(np.linspace(0, 100, 8000)).astype(np.float32) * 0.5
+    write_wav(tmp_path / "a.wav", y)
+    loaded, sr = load_wav(tmp_path / "a.wav", 22050)
+    assert sr == 22050
+    np.testing.assert_allclose(loaded, y, atol=1e-3)
+
+
+def test_wav_resample(tmp_path):
+    y = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    write_wav(tmp_path / "b.wav", y, sr=16000)
+    loaded, sr = load_wav(tmp_path / "b.wav", 22050)
+    assert sr == 22050
+    assert abs(len(loaded) - 22050) < 10
+
+
+def test_preprocess_outputs(corpus):
+    root, out, cfg = corpus
+    npz_files = list(out.glob("*.npz"))
+    assert len(npz_files) == 12
+    stats = load_stats(out)
+    assert np.isfinite(stats["mean"]) and stats["std"] > 0
+    with np.load(npz_files[0], allow_pickle=True) as z:
+        assert z["melspec"].shape[0] == cfg.audio.n_mels
+        assert z["sequence"].dtype == np.int32
+        assert len(z["sequence"]) > 0
+    # normalized corpus: overall mean ~0, std ~1
+    all_mels = np.concatenate(
+        [np.load(p)["melspec"].ravel() for p in npz_files]
+    )
+    assert abs(all_mels.mean()) < 0.15
+    assert abs(all_mels.std() - 1.0) < 0.15
+
+
+def test_preprocess_skips_when_nonempty(corpus, caplog):
+    root, out, cfg = corpus
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        preprocess(cfg)
+    assert "Skipping" in caplog.text
+
+
+def test_split(corpus):
+    _, out, _ = corpus
+    train = LJSpeechDataset(out, "train")
+    val = LJSpeechDataset(out, "val")
+    assert len(val) == 4  # LJ001 prefix
+    assert len(train) == 8
+    item = train[0]
+    assert item["melspec"].shape[1] == 80  # transposed to (T, n_mels)
+
+
+def test_load_transcripts(tmp_path):
+    meta = tmp_path / "metadata.csv"
+    meta.write_text("id1|raw text|norm text\nid2|a|b\nbadline\n")
+    t = load_transcripts(meta)
+    assert t == {"id1": "norm text", "id2": "b"}
+
+
+def test_pick_bucket():
+    assert pick_bucket(5, (8, 16)) == 8
+    assert pick_bucket(8, (8, 16)) == 8
+    assert pick_bucket(9, (8, 16)) == 16
+    assert pick_bucket(17, (8, 16)) is None
+
+
+def test_bucketed_loader(corpus):
+    _, out, _ = corpus
+    ds = LJSpeechDataset(out, "train")
+    loader = BucketedLoader(
+        ds, batch_size=2, grad_acc_steps=2,
+        phoneme_buckets=(32, 64), mel_buckets=(128, 256, 512),
+        drop_last=False, seed=1,
+    )
+    batches = list(loader.epoch(0))
+    assert len(batches) >= 1
+    for b in batches:
+        assert b["phoneme"].shape[:2] == (2, 2)
+        assert b["melspec"].shape[:2] == (2, 2)
+        assert b["melspec"].shape[3] == 80
+        assert b["phoneme"].shape[2] in (32, 64)
+        assert b["melspec"].shape[2] in (128, 256, 512)
+        # sorted desc by phoneme length within each micro batch (ref collate)
+        for k in range(2):
+            lens = b["phoneme_lens"][k]
+            assert (np.diff(lens) <= 0).all()
+            # padding is zeros
+            for j, L in enumerate(lens):
+                assert (b["phoneme"][k, j, L:] == 0).all()
+
+    # determinism per (seed, epoch); different epoch order differs
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]["phoneme"], again[0]["phoneme"])
+
+
+def test_host_sharding(corpus):
+    _, out, _ = corpus
+    ds = LJSpeechDataset(out, "train")
+    kw = dict(batch_size=1, grad_acc_steps=1, phoneme_buckets=(64,),
+              mel_buckets=(512,), drop_last=False)
+    l0 = BucketedLoader(ds, process_index=0, process_count=2, **kw)
+    l1 = BucketedLoader(ds, process_index=1, process_count=2, **kw)
+    ids0 = {int(i) for idxs in l0.buckets.values() for i in idxs}
+    ids1 = {int(i) for idxs in l1.buckets.values() for i in idxs}
+    assert ids0.isdisjoint(ids1)
+    assert len(ids0 | ids1) == len(ds)

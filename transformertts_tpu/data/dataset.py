@@ -1,0 +1,198 @@
+"""Dataset + bucketed-length, host-sharded batch iterator.
+
+Reference behavior mirrored (ref: dataset.py):
+- validation split = utterances with id prefix LJ001/LJ002/LJ003, train =
+  the rest (dataset.py:50-55);
+- per item: phoneme id sequence + mel transposed to (T, n_mels)
+  (dataset.py:57-68);
+- batches sorted by phoneme length descending and zero-padded
+  (dataset.py:71-103).
+
+TPU-specific redesign (SURVEY.md §7 hard part (v)): instead of padding to
+the per-batch max (a new XLA program per shape), every utterance is assigned
+to a static (phoneme_bucket, mel_bucket) rectangle and batches are formed
+within buckets — bounding the number of compiled programs to
+|phoneme_buckets| x |mel_buckets| while keeping padding waste low.  Batches
+carry a leading grad-accumulation axis (K, B, ...) matching the train step.
+Multi-host: each process takes a strided slice of the item index so hosts
+see disjoint data (jax.process_index()).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from bisect import bisect_left
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("transformertts_tpu.data")
+
+VAL_PREFIXES = ("LJ001", "LJ002", "LJ003")  # ref: dataset.py:50-55
+
+
+def load_stats(preprocessed_dir: str | Path) -> dict:
+    with open(Path(preprocessed_dir) / "stats.json", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def pick_bucket(value: int, buckets: tuple[int, ...]) -> int | None:
+    """Smallest bucket >= value, or None if value exceeds the largest."""
+    i = bisect_left(buckets, value)
+    return buckets[i] if i < len(buckets) else None
+
+
+class LJSpeechDataset:
+    """npz-backed dataset with a cached length index."""
+
+    def __init__(self, preprocessed_dir: str | Path, split: str = "train"):
+        base = Path(preprocessed_dir)
+        files = sorted(p for p in base.glob("*.npz"))
+        if split == "train":
+            self.files = [p for p in files if not p.stem.startswith(VAL_PREFIXES)]
+        elif split == "val":
+            self.files = [p for p in files if p.stem.startswith(VAL_PREFIXES)]
+        else:
+            raise ValueError(f"bad split {split}")
+        self._lengths = self._load_length_index(base, split, files)
+
+    def _load_length_index(self, base: Path, split: str, all_files) -> list[tuple[int, int]]:
+        index_path = base / "length_index.json"
+        if index_path.exists():
+            with open(index_path, encoding="utf-8") as f:
+                idx = json.load(f)
+        else:
+            idx = {}
+            for p in all_files:
+                with np.load(p, allow_pickle=True) as z:
+                    idx[p.stem] = [int(z["sequence"].shape[0]), int(z["melspec"].shape[1])]
+            try:
+                with open(index_path, "w", encoding="utf-8") as f:
+                    json.dump(idx, f)
+            except OSError:  # read-only data dir: recompute next time
+                pass
+        return [tuple(idx[p.stem]) for p in self.files]
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def lengths(self, i: int) -> tuple[int, int]:
+        """(phoneme_len, mel_frames) without loading arrays."""
+        return self._lengths[i]
+
+    def __getitem__(self, i: int) -> dict:
+        with np.load(self.files[i], allow_pickle=True) as z:
+            return {
+                "sequence": z["sequence"].astype(np.int32),
+                "melspec": z["melspec"].T.astype(np.float32),  # (T, n_mels)
+                "transcript": str(z["transcript"]),
+            }
+
+
+class BucketedLoader:
+    """Yields (K, B, ...) batches from static length buckets."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        phoneme_buckets: tuple[int, ...],
+        mel_buckets: tuple[int, ...],
+        n_mels: int = 80,
+        grad_acc_steps: int = 1,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 42,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.k = grad_acc_steps
+        self.pb = tuple(phoneme_buckets)
+        self.mb = tuple(mel_buckets)
+        self.n_mels = n_mels
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+        # bucket assignment (items too long for the largest bucket are dropped)
+        self.buckets: dict[tuple[int, int], list[int]] = {}
+        dropped = 0
+        for i in range(len(dataset)):
+            p_len, m_len = dataset.lengths(i)
+            bp, bm = pick_bucket(p_len, self.pb), pick_bucket(m_len, self.mb)
+            if bp is None or bm is None:
+                dropped += 1
+                continue
+            self.buckets.setdefault((bp, bm), []).append(i)
+        if dropped:
+            log.warning(
+                "dropped %d/%d items exceeding max bucket (%d, %d)",
+                dropped, len(dataset), self.pb[-1], self.mb[-1],
+            )
+        # host shard: strided split of each bucket
+        if process_count > 1:
+            self.buckets = {
+                key: idxs[process_index::process_count]
+                for key, idxs in self.buckets.items()
+            }
+
+    def batches_per_epoch(self) -> int:
+        n, group = 0, self.batch_size * self.k
+        for idxs in self.buckets.values():
+            n += len(idxs) // group if self.drop_last else -(-len(idxs) // group)
+        return n
+
+    def _pad_batch(self, idxs: list[int], bp: int, bm: int) -> dict:
+        b = len(idxs)
+        items = [self.ds[i] for i in idxs]
+        # sort desc by phoneme length (ref: dataset.py:74-77)
+        order = np.argsort([-len(it["sequence"]) for it in items], kind="stable")
+        items = [items[j] for j in order]
+
+        phoneme = np.zeros((b, bp), np.int32)
+        melspec = np.zeros((b, bm, self.n_mels), np.float32)
+        p_lens = np.zeros((b,), np.int32)
+        m_lens = np.zeros((b,), np.int32)
+        for j, it in enumerate(items):
+            seq, mel = it["sequence"], it["melspec"]
+            p_lens[j], m_lens[j] = len(seq), mel.shape[0]
+            phoneme[j, : len(seq)] = seq
+            melspec[j, : mel.shape[0]] = mel
+        return {
+            "phoneme": phoneme, "melspec": melspec,
+            "phoneme_lens": p_lens, "melspec_lens": m_lens,
+        }
+
+    def epoch(self, epoch_num: int = 0):
+        """Iterate (K, B, ...) batches; deterministic per (seed, epoch)."""
+        rng = np.random.default_rng(self.seed + epoch_num)
+        group = self.batch_size * self.k
+        jobs: list[tuple[tuple[int, int], list[int]]] = []
+        for key, idxs in self.buckets.items():
+            idxs = list(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            for s in range(0, len(idxs), group):
+                chunk = idxs[s : s + group]
+                if len(chunk) < group and self.drop_last:
+                    continue
+                if len(chunk) < group:  # repeat-pad final partial group
+                    chunk = (chunk * (group // len(chunk) + 1))[:group]
+                jobs.append((key, chunk))
+        if self.shuffle:
+            rng.shuffle(jobs)
+
+        for (bp, bm), chunk in jobs:
+            micro = [
+                self._pad_batch(chunk[m * self.batch_size : (m + 1) * self.batch_size], bp, bm)
+                for m in range(self.k)
+            ]
+            yield {
+                name: np.stack([mb[name] for mb in micro]) for name in micro[0]
+            }
+
+    def __iter__(self):
+        return self.epoch(0)

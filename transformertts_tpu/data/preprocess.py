@@ -1,0 +1,132 @@
+"""Offline preprocessing CLI (ref: preprocess.py).
+
+``python -m transformertts_tpu.data.preprocess --config config.yaml``
+
+Pipeline per utterance (ref: preprocess.py:28-42):
+  metadata.csv (``id|raw|normalized``) -> g2p phonemes + id sequence,
+  wav -> log-mel ``(n_mels, T)`` -> global mean/std normalize -> ``<id>.npz``
+  with keys melspec / transcript / phoneme / sequence.
+
+Global scalar mel stats are streamed over the corpus first and written to
+``stats.json`` in the preprocessed dir (ref: preprocess.py:45-72 writes to
+CWD; we keep it next to the data).  Skips entirely if the output dir is
+non-empty (ref: preprocess.py:80-82); per-utterance errors warn + continue
+(ref: preprocess.py:97-100).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from transformertts_tpu.config import Config, load_config
+from transformertts_tpu.data.audio_io import load_wav
+from transformertts_tpu.dsp import mel_spectrogram_np, normalize_mel
+from transformertts_tpu.text import G2p, phonemize
+
+log = logging.getLogger("transformertts_tpu.preprocess")
+
+
+def load_transcripts(metadata_path: Path) -> dict[str, str]:
+    """``id|raw|normalized`` -> {id: normalized} (ref: preprocess.py:11-18)."""
+    transcripts: dict[str, str] = {}
+    with open(metadata_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 3:
+                continue
+            transcripts[parts[0]] = parts[2].strip()
+    log.info("Loaded %d transcripts", len(transcripts))
+    return transcripts
+
+
+def _mel_for(audio_id: str, cfg: Config) -> np.ndarray:
+    wav_path = Path(cfg.path.data) / "wavs" / f"{audio_id}.wav"
+    y, _ = load_wav(wav_path, cfg.audio.sample_rate)
+    a = cfg.audio
+    return mel_spectrogram_np(
+        y, a.sample_rate, a.n_fft, a.hop_length, a.win_length, a.fmin, a.fmax, a.n_mels
+    )
+
+
+def compute_global_stats(transcripts: dict[str, str], cfg: Config, out_dir: Path):
+    """Streamed corpus mean/std (ref: preprocess.py:45-72)."""
+    total, sq_total, count = 0.0, 0.0, 0
+    for audio_id in transcripts:
+        try:
+            mel = _mel_for(audio_id, cfg)
+        except Exception as e:  # noqa: BLE001
+            log.warning("stats: skipping %s: %s", audio_id, e)
+            continue
+        count += mel.size
+        total += float(mel.sum())
+        sq_total += float((mel.astype(np.float64) ** 2).sum())
+    mean = total / count
+    std = float(np.sqrt(sq_total / count - mean**2 + 1e-8))
+    stats = {"mean": mean, "std": std}
+    with open(out_dir / "stats.json", "w", encoding="utf-8") as f:
+        json.dump(stats, f, indent=2)
+    log.info("Global mel stats: mean=%.4f std=%.4f", mean, std)
+    return mean, std
+
+
+def process_and_save(audio_id, transcript, g2p, cfg, out_dir: Path, mean, std):
+    phoneme, sequence = phonemize(transcript, g2p)
+    mel = _mel_for(audio_id, cfg)
+    if mean is not None and std is not None:
+        mel = normalize_mel(mel, mean, std)
+    np.savez(
+        out_dir / f"{audio_id}.npz",
+        melspec=mel.astype(np.float32),
+        transcript=transcript,
+        phoneme=np.array(phoneme),
+        sequence=np.array(sequence, dtype=np.int32),
+    )
+
+
+def preprocess(cfg: Config) -> None:
+    out_dir = Path(cfg.path.preprocessed)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if any(out_dir.iterdir()):
+        log.info("Preprocessed data already exists. Skipping.")
+        return
+
+    metadata = Path(cfg.path.data) / "metadata.csv"
+    if not metadata.is_file():
+        log.error("Metadata file not found at %s", metadata)
+        return
+
+    transcripts = load_transcripts(metadata)
+    g2p = G2p()
+    log.info("g2p backend: %s", g2p.backend)
+
+    mean = std = None
+    if cfg.audio.normalize_mel:
+        mean, std = compute_global_stats(transcripts, cfg, out_dir)
+
+    n_err = 0
+    for audio_id, transcript in transcripts.items():
+        try:
+            process_and_save(audio_id, transcript, g2p, cfg, out_dir, mean, std)
+        except Exception as e:  # noqa: BLE001
+            n_err += 1
+            log.warning("Error processing %s: %s", audio_id, e)
+    log.info("Preprocessing done (%d errors)", n_err)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description="Offline LJSpeech preprocessing")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="dotted config override, e.g. path.data=/data/LJSpeech-1.1")
+    args = ap.parse_args(argv)
+    preprocess(load_config(args.config, args.overrides))
+
+
+if __name__ == "__main__":
+    main()
