@@ -1,0 +1,80 @@
+"""End-to-end integration: preprocess -> Trainer.fit -> checkpoints/plots/resume."""
+
+import json
+
+import numpy as np
+import pytest
+
+from transformertts_tpu.config import load_config
+from transformertts_tpu.train.checkpoint import CheckpointManager
+from transformertts_tpu.train.trainer import Trainer
+
+from tests.test_data import corpus  # noqa: F401  (fixture)
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):  # noqa: F811
+    root, out, _ = corpus
+    exp = tmp_path_factory.mktemp("exp")
+    cfg = load_config(None, [
+        f"path.data={root}", f"path.preprocessed={out}", f"path.experiment={exp}",
+        "model.d_model=64", "model.encoder_n_layers=1", "model.decoder_n_layers=1",
+        "model.encoder_d_ffn=128", "model.decoder_d_ffn=128",
+        "model.postnet_n_layers=2",
+        "training.batch_size=2", "training.grad_acc_steps=2",
+        "training.num_epochs=2", "training.log_interval=1",
+        "training.teacher_forcing_warmup_epochs=0",
+        "runtime.compute_dtype=float32",
+        "runtime.phoneme_buckets=[32]", "runtime.mel_buckets=[64,128]",
+        "runtime.infer_max_len=16",
+    ])
+    trainer = Trainer(cfg, exp / "run1", resume=False)
+    result = trainer.fit()
+    return cfg, exp, trainer, result
+
+
+def test_fit_completes(trained):
+    _, _, _, result = trained
+    assert result["epochs"] == 2
+    assert np.isfinite(result["best_val"])
+
+
+def test_history_written(trained):
+    _, exp, _, _ = trained
+    hist = json.loads((exp / "run1" / "history.json").read_text())
+    assert len(hist) == 2
+    assert {"epoch", "total", "val_loss", "audio_s_per_s", "p_tf"} <= set(hist[0])
+    assert hist[1]["p_tf"] < 1.0  # linear decay kicks in after epoch 0
+    assert hist[0]["audio_s_per_s"] > 0
+
+
+def test_plots_written(trained):
+    _, exp, _, _ = trained
+    for sub in ("mels_batch", "align_batch", "align_single", "mels_single"):
+        files = list((exp / "run1" / sub).glob("*.png"))
+        assert files, sub
+
+
+def test_checkpoint_and_resume(trained):
+    cfg, exp, trainer, _ = trained
+    mgr = CheckpointManager(exp / "run1" / "checkpoints")
+    assert mgr.latest_step() is not None
+
+    # resuming constructs a trainer that starts at epoch 2 (== num_epochs: done)
+    trainer2 = Trainer(cfg, exp / "run1", resume=True)
+    assert trainer2.start_epoch == 2
+    r = trainer2.fit()
+    assert r["epochs"] == 0  # nothing left to do
+
+
+def test_restored_state_matches(trained):
+    cfg, exp, trainer, _ = trained
+    import jax
+
+    mgr = CheckpointManager(exp / "run1" / "checkpoints")
+    restored, epoch = mgr.restore(jax.device_get(trainer.state))
+    assert epoch == 2
+    a = jax.device_get(trainer.state.params)
+    b = restored.params
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert all(np.allclose(x, y) for x, y in zip(leaves_a, leaves_b))

@@ -1,0 +1,114 @@
+"""Command-line entry points (ref: train.py:14-56, preprocess.py:103-112).
+
+  python -m transformertts_tpu.cli train --config config.yaml
+  python -m transformertts_tpu.cli preprocess --config config.yaml
+  python -m transformertts_tpu.cli synthesize --config c.yaml --ckpt DIR --text "..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="YAML config path (defaults = reference config)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   help="dotted override, e.g. training.batch_size=32")
+
+
+def cmd_train(args):
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.train.trainer import Trainer
+    from transformertts_tpu.utils import increment_path
+
+    cfg = load_config(args.config, args.overrides)
+    exp_dir = args.exp_dir or increment_path(cfg.path.experiment)
+    trainer = Trainer(cfg, exp_dir, resume=not args.no_resume)
+    result = trainer.fit()
+    print(f"done: best val loss {result['best_val']:.4f} after {result['epochs']} epochs")
+
+
+def cmd_preprocess(args):
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.data.preprocess import preprocess
+
+    preprocess(load_config(args.config, args.overrides))
+
+
+def cmd_synthesize(args):
+    import numpy as np
+    import jax
+
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.data import load_stats
+    from transformertts_tpu.dsp import denormalize_mel
+    from transformertts_tpu.infer import make_decode_fn
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.text import G2p, phonemize
+    from transformertts_tpu.train.checkpoint import CheckpointManager
+    from transformertts_tpu.train.train_step import create_train_state
+
+    cfg = load_config(args.config, args.overrides)
+    model = TransformerTTS(cfg.model)
+    g2p = G2p()
+    _, seq = phonemize(args.text, g2p)
+    max_p = cfg.runtime.phoneme_buckets[-1]
+    phoneme = np.zeros((1, max_p), np.int32)
+    phoneme[0, : len(seq)] = seq[:max_p]
+
+    example = {
+        "phoneme": phoneme[None],
+        "melspec": np.zeros((1, 1, 8, cfg.model.n_mels), np.float32),
+        "phoneme_lens": np.array([[len(seq)]], np.int32),
+        "melspec_lens": np.array([[8]], np.int32),
+    }
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), example)
+    state, _ = CheckpointManager(args.ckpt).restore(state)
+    if state is None:
+        sys.exit(f"no checkpoint found in {args.ckpt}")
+
+    decode = make_decode_fn(model, cfg)
+    out = jax.device_get(
+        decode({"params": state.params, "batch_stats": state.batch_stats},
+               phoneme, np.array([len(seq)], np.int32))
+    )
+    n = int(out["n_frames"])
+    mel = out["post_melspec"][0, :n]
+    if cfg.audio.normalize_mel:
+        try:
+            stats = load_stats(cfg.path.preprocessed)
+            mel = denormalize_mel(mel, stats["mean"], stats["std"])
+        except FileNotFoundError:
+            print("warning: stats.json not found; mel left normalized")
+    np.save(args.out, mel.T)  # (n_mels, T) layout like preprocess output
+    print(f"wrote {mel.shape[0]} frames to {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="transformertts_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train the model")
+    _add_common(p_train)
+    p_train.add_argument("--exp-dir", default=None)
+    p_train.add_argument("--no-resume", action="store_true")
+    p_train.set_defaults(fn=cmd_train)
+
+    p_pre = sub.add_parser("preprocess", help="offline feature extraction")
+    _add_common(p_pre)
+    p_pre.set_defaults(fn=cmd_preprocess)
+
+    p_syn = sub.add_parser("synthesize", help="text -> mel with a trained checkpoint")
+    _add_common(p_syn)
+    p_syn.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p_syn.add_argument("--text", required=True)
+    p_syn.add_argument("--out", default="mel.npy")
+    p_syn.set_defaults(fn=cmd_synthesize)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

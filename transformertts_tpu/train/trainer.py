@@ -1,0 +1,232 @@
+"""Training orchestration — the runtime the reference delegates to
+pytorch-lightning (ref: train.py:14-56, lightning_module.py).
+
+Responsibilities: mesh setup + state sharding, per-epoch teacher-forcing
+schedule, bucketed train loop (one jitted step per (phoneme, mel) bucket
+shape; compile count is bounded by the bucket grid), validation with the
+plot suite, early stopping (patience on val_loss, ref train.py:31-36),
+orbax checkpoint/resume, throughput accounting in audio-seconds/s (the
+BASELINE.json metric), optional jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from transformertts_tpu.config import Config
+from transformertts_tpu.data import BucketedLoader, LJSpeechDataset
+from transformertts_tpu.infer import make_decode_fn
+from transformertts_tpu.models import TransformerTTS
+from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
+from transformertts_tpu.train.checkpoint import CheckpointManager
+from transformertts_tpu.train.schedules import noam_schedule, teacher_forcing_ratio
+from transformertts_tpu.train.train_step import (
+    count_params,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from transformertts_tpu.utils import log_step_info, setup_logger
+from transformertts_tpu.utils import plot as plots
+
+
+class Trainer:
+    def __init__(self, cfg: Config, exp_dir: str | Path, resume: bool = True):
+        self.cfg = cfg
+        self.exp_dir = Path(exp_dir)
+        self.log = setup_logger(str(self.exp_dir / "train.log"))
+        self.model = TransformerTTS(
+            cfg.model,
+            dtype=jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32,
+        )
+
+        r = cfg.runtime
+        avail = len(jax.devices()) // r.mesh_model
+        n_data = avail if r.mesh_data == -1 else min(r.mesh_data, avail)
+        # the sharded batch axis must divide evenly over 'data'
+        while cfg.training.batch_size % n_data:
+            n_data -= 1
+        self.mesh = make_mesh(n_data, r.mesh_model)
+        self.log.info("mesh: %s over %d devices", dict(self.mesh.shape), self.mesh.size)
+
+        self._build_data()
+        self._build_state(resume)
+        self.train_step_ss = make_train_step(self.model, cfg, scheduled_sampling=True)
+        self.train_step_tf = make_train_step(self.model, cfg, scheduled_sampling=False)
+        self.eval_step = make_eval_step(self.model, cfg, with_outputs=True)
+        self.decode = make_decode_fn(self.model, cfg)
+        self.audio_sec_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
+
+    def _build_data(self):
+        cfg = self.cfg
+        train_ds = LJSpeechDataset(cfg.path.preprocessed, "train")
+        val_ds = LJSpeechDataset(cfg.path.preprocessed, "val")
+        common = dict(
+            phoneme_buckets=cfg.runtime.phoneme_buckets,
+            mel_buckets=cfg.runtime.mel_buckets,
+            n_mels=cfg.model.n_mels,
+            seed=cfg.training.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        self.train_loader = BucketedLoader(
+            train_ds, cfg.training.batch_size,
+            grad_acc_steps=cfg.training.grad_acc_steps,
+            shuffle=True, drop_last=True, **common,
+        )
+        self.val_loader = BucketedLoader(
+            val_ds, cfg.training.batch_size, grad_acc_steps=1,
+            shuffle=False, drop_last=False, **common,
+        )
+        self.log.info(
+            "data: %d train / %d val items, %d train batches/epoch",
+            len(train_ds), len(val_ds), self.train_loader.batches_per_epoch(),
+        )
+
+    def _build_state(self, resume: bool):
+        cfg = self.cfg
+        example = next(iter(self.train_loader.epoch(0)))
+        state = create_train_state(
+            self.model, cfg, jax.random.PRNGKey(cfg.training.seed), example
+        )
+        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints")
+        self.start_epoch = 0
+        if resume:
+            restored, epoch = self.ckpt.restore(state)
+            if restored is not None:
+                state, self.start_epoch = restored, epoch
+        self.state = shard_state(state, self.mesh)
+        self.log.info("model parameters: %.2fM", count_params(state.params) / 1e6)
+        self.noam = noam_schedule(cfg.model.d_model, cfg.training.warmup_steps)
+
+    # ------------------------------------------------------------------ train
+
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        p_tf = teacher_forcing_ratio(
+            epoch, cfg.training.num_epochs, cfg.training.teacher_forcing_mode,
+            cfg.training.teacher_forcing_warmup_epochs,
+        )
+        use_ss = p_tf < 1.0
+        step_fn = self.train_step_ss if use_ss else self.train_step_tf
+        rng = jax.random.PRNGKey(cfg.training.seed + 1000 + epoch)
+
+        totals, n_steps = {}, 0
+        audio_seconds = 0.0
+        t_start = time.perf_counter()
+        with self.mesh:
+            for batch in self.train_loader.epoch(epoch):
+                audio_seconds += float(batch["melspec_lens"].sum()) * self.audio_sec_per_frame
+                sharded = shard_batch(batch, self.mesh)
+                self.state, metrics = step_fn(self.state, sharded, p_tf, rng)
+                n_steps += 1
+                if n_steps % cfg.training.log_interval == 0:
+                    metrics = jax.device_get(metrics)
+                    step_now = int(jax.device_get(self.state.step))
+                    elapsed = time.perf_counter() - t_start
+                    log_step_info(
+                        self.log, epoch, step_now, metrics,
+                        float(self.noam(step_now)), audio_seconds / elapsed,
+                    )
+                for name, val in jax.device_get(metrics).items():
+                    totals[name] = totals.get(name, 0.0) + float(val)
+
+        elapsed = time.perf_counter() - t_start
+        avg = {name: v / max(n_steps, 1) for name, v in totals.items()}
+        avg["audio_s_per_s"] = audio_seconds / elapsed
+        avg["p_tf"] = p_tf
+        self.log.info(
+            "epoch %d done: loss %.4f | p_tf %.3f | %.1f audio-s/s",
+            epoch, avg.get("total", float("nan")), p_tf, avg["audio_s_per_s"],
+        )
+        return avg
+
+    # ------------------------------------------------------------------- val
+
+    def validate(self, epoch: int) -> float:
+        totals, n = {}, 0
+        first = True
+        with self.mesh:
+            for batch in self.val_loader.epoch(0):
+                micro = {name: arr[0] for name, arr in batch.items()}
+                metrics, out = self.eval_step(self.state, micro)
+                for name, val in jax.device_get(metrics).items():
+                    totals[name] = totals.get(name, 0.0) + float(val)
+                n += 1
+                if first and jax.process_index() == 0:
+                    self._plot_validation(epoch, micro, jax.device_get(out))
+                    first = False
+        avg = {name: v / max(n, 1) for name, v in totals.items()}
+        self.log.info(
+            "epoch %d val: loss %.4f | mel_l1 %.4f | diagonality %.3f",
+            epoch, avg.get("total", float("nan")), avg.get("mel_l1", float("nan")),
+            avg.get("diagonality", float("nan")),
+        )
+        self._free_running_plot(epoch)
+        return avg.get("total", float("inf"))
+
+    def _plot_validation(self, epoch: int, batch: dict, out: dict):
+        e = self.exp_dir
+        plots.plot_mels_batch(
+            out["post_melspec"], batch["melspec"], batch["melspec_lens"],
+            e / "mels_batch" / f"epoch_{epoch:04d}.png",
+        )
+        plots.plot_alignments_batch(
+            out["alignments"], batch["melspec_lens"], batch["phoneme_lens"],
+            e / "align_batch" / f"epoch_{epoch:04d}.png",
+        )
+        plots.plot_alignment_single(
+            out["alignments"], batch["melspec_lens"][0], batch["phoneme_lens"][0],
+            e / "align_single" / f"epoch_{epoch:04d}.png",
+        )
+
+    def _free_running_plot(self, epoch: int):
+        """Run inference on one cached val sample (ref: lightning_module.py:146-157)."""
+        if jax.process_index() != 0 or len(self.val_loader.ds) == 0:
+            return
+        item = self.val_loader.ds[0]
+        seq = item["sequence"][: self.cfg.runtime.phoneme_buckets[-1]]
+        phoneme = np.zeros((1, self.cfg.runtime.phoneme_buckets[-1]), np.int32)
+        phoneme[0, : len(seq)] = seq
+        out = jax.device_get(
+            self.decode(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                phoneme, np.array([len(seq)], np.int32),
+            )
+        )
+        n = max(int(out["n_frames"]), 1)
+        plots.plot_mels_single(
+            out["post_melspec"][0, :n], item["melspec"],
+            self.exp_dir / "mels_single" / f"epoch_{epoch:04d}.png",
+        )
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self) -> dict:
+        cfg = self.cfg
+        best_val, patience = float("inf"), 0
+        history = []
+        for epoch in range(self.start_epoch, cfg.training.num_epochs):
+            train_metrics = self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            history.append({"epoch": epoch, **train_metrics, "val_loss": val_loss})
+
+            if jax.process_index() == 0:
+                self.ckpt.save(int(jax.device_get(self.state.step)), self.state, epoch + 1)
+                with open(self.exp_dir / "history.json", "w") as f:
+                    json.dump(history, f, indent=2)
+
+            if val_loss < best_val:
+                best_val, patience = val_loss, 0
+            else:
+                patience += 1
+                if patience >= cfg.training.max_patience:  # ref: train.py:31-36
+                    self.log.info("early stopping at epoch %d (patience %d)",
+                                  epoch, patience)
+                    break
+        return {"best_val": best_val, "epochs": len(history)}
