@@ -1,0 +1,142 @@
+"""Training-throughput benchmark (the BASELINE.json headline metric).
+
+Measures steady-state audio-seconds of speech processed per wall-clock
+second per chip for the full reference-parity LJSpeech config (batch 16 x
+grad-accum 4, scheduled-sampling double-forward train step — the reference's
+exact training regime, ref: config.yaml:49,56, lightning_module.py:45-86)
+on synthetic LJSpeech-length-distributed data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md).  We use an
+analytic estimate of its RTX-4060 throughput: ~420 GFLOP per effective
+optimizer step (fwd+bwd+no-grad fwd at batch 16, avg 568 mel frames /
+95 phonemes) against ~15 TFLOP/s peak fp32 at a generous 35% eager-torch
+utilization, plus dataloader overhead => ~75 ms per batch-16 micro-step
+=> ~105.6 audio-s / 0.30 s accum-step ~= 350 audio-s/s.  Details in
+bench_details.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_S_PER_S = 350.0
+
+# LJSpeech stats: 13,100 clips / ~24 h -> mean 6.57 s -> 566 mel frames @
+# hop 256 / 22.05 kHz; transcript ~ 95 phonemes
+MEL_MEAN, MEL_STD, MEL_BUCKET = 566, 120, 768
+PHON_MEAN, PHON_STD, PHON_BUCKET = 95, 25, 128
+
+
+def synthetic_epoch_batch(rng, k, b):
+    mel_lens = np.clip(
+        rng.normal(MEL_MEAN, MEL_STD, (k, b)).astype(np.int32), 200, MEL_BUCKET
+    )
+    phon_lens = np.clip(
+        rng.normal(PHON_MEAN, PHON_STD, (k, b)).astype(np.int32), 30, PHON_BUCKET
+    )
+    return {
+        "phoneme": rng.integers(1, 80, (k, b, PHON_BUCKET)).astype(np.int32),
+        "melspec": (rng.standard_normal((k, b, MEL_BUCKET, 80)) * 0.8).astype(np.float32),
+        "phoneme_lens": phon_lens,
+        "melspec_lens": mel_lens,
+    }
+
+
+def main():
+    import jax
+
+    from transformertts_tpu.config import Config
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
+    from transformertts_tpu.train import create_train_state, make_train_step
+
+    cfg = Config().validate()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
+
+    dtype = jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
+    model = TransformerTTS(cfg.model, dtype=dtype)
+
+    k, b = cfg.training.grad_acc_steps, cfg.training.batch_size
+    rng = np.random.default_rng(0)
+    batch = synthetic_epoch_batch(rng, k, b)
+
+    n_dev = len(jax.devices())
+    n_data = n_dev
+    while b % n_data:
+        n_data -= 1
+    mesh = make_mesh(n_data, 1)
+
+    # init at tiny shapes (params are length-independent) to keep the init
+    # compile cheap; the real compile happens on the first step() call
+    tiny = synthetic_epoch_batch(rng, 1, 2)
+    tiny = {
+        "phoneme": tiny["phoneme"][:, :, :16],
+        "melspec": tiny["melspec"][:, :, :32],
+        "phoneme_lens": np.full((1, 2), 16, np.int32),
+        "melspec_lens": np.full((1, 2), 32, np.int32),
+    }
+    t0 = time.perf_counter()
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), tiny)
+    state = shard_state(state, mesh)
+    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    step = make_train_step(model, cfg, scheduled_sampling=True, donate=True)
+
+    audio_sec_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
+    key = jax.random.PRNGKey(1)
+
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        # warmup / compile
+        t0 = time.perf_counter()
+        for i in range(3):
+            state, metrics = step(state, sharded, 0.8, key)
+            jax.block_until_ready(metrics["total"])
+            print(f"warmup step {i}: {time.perf_counter() - t0:.1f}s cumulative",
+                  file=sys.stderr)
+        compile_and_warmup = time.perf_counter() - t0
+
+        n_steps = 20
+        batches = [synthetic_epoch_batch(rng, k, b) for _ in range(4)]
+        shardeds = [shard_batch(x, mesh) for x in batches]
+        audio_seconds = 0.0
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            bi = shardeds[i % len(shardeds)]
+            audio_seconds += float(batches[i % len(batches)]["melspec_lens"].sum()) * audio_sec_per_frame
+            state, metrics = step(state, bi, 0.8, key)
+        jax.block_until_ready(metrics["total"])
+        elapsed = time.perf_counter() - t0
+
+    value = audio_seconds / elapsed / n_dev
+    details = {
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        "n_devices": n_dev,
+        "steps_per_s": n_steps / elapsed,
+        "step_time_ms": elapsed / n_steps * 1000,
+        "audio_s_per_step": audio_seconds / n_steps,
+        "compile_warmup_s": compile_and_warmup,
+        "effective_batch": k * b,
+        "loss_final": float(jax.device_get(metrics["total"])),
+        "baseline_estimate_audio_s_per_s": BASELINE_AUDIO_S_PER_S,
+        "baseline_note": "analytic RTX-4060 estimate; reference publishes no numbers",
+    }
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps({
+        "metric": "LJSpeech train throughput per chip (batch 16 x accum 4, scheduled sampling)",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from transformertts_tpu.models.attention import MultiHeadAttention
-from transformertts_tpu.models.masks import causal_bias, combine, padding_bias
+from transformertts_tpu.models.masks import key_padding_bias, padding_bias
 from transformertts_tpu.models.transformer import DecoderLayer, EncoderLayer
 
 D, H, FFN = 64, 4, 128
@@ -95,8 +95,8 @@ def test_encoder_layer_matches_torch(data):
         }
     }
     mod = EncoderLayer(D, H, FFN, dropout=0.0)
-    bias = padding_bias(jnp.asarray(lens.numpy()), T)
-    out = mod.apply(params, _t2j(x), bias, False)
+    kb = key_padding_bias(jnp.asarray(lens.numpy()), T)
+    out = mod.apply(params, _t2j(x), kb, False)
     # padded query rows differ (torch may emit NaN there); compare valid rows
     for i, L in enumerate(lens.tolist()):
         np.testing.assert_allclose(
@@ -127,10 +127,10 @@ def test_decoder_layer_matches_torch(data):
         }
     }
     mod = DecoderLayer(D, H, FFN, dropout=0.0)
-    self_bias = combine(causal_bias(T), padding_bias(jnp.asarray(tgt_lens.numpy()), T))
-    cross_bias = padding_bias(jnp.asarray(src_lens.numpy()), S)
+    tgt_kb = key_padding_bias(jnp.asarray(tgt_lens.numpy()), T)
+    mem_kb = key_padding_bias(jnp.asarray(src_lens.numpy()), S)
     out, align = mod.apply(
-        params, _t2j(x), _t2j(mem), self_bias, cross_bias, False, True
+        params, _t2j(x), _t2j(mem), tgt_kb, mem_kb, False, True
     )
     assert align.shape == (B, H, T, S)
     for i, L in enumerate(tgt_lens.tolist()):

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from transformertts_tpu.models.initializers import (
@@ -60,8 +61,6 @@ def dot_product_attention(
     weights = nn.softmax(scores, axis=-1)
     weights_out = weights if return_weights else None
     if dropout_rate > 0.0 and not deterministic:
-        import jax
-
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
@@ -76,12 +75,19 @@ class MultiHeadAttention(nn.Module):
     Init matches torch: xavier_uniform in-projections with zero bias;
     out-projection uses torch Linear defaults with zero bias
     (torch MHA._reset_parameters).
+
+    ``use_flash=True`` routes eligible calls (no weight capture, structured
+    key-bias/causal masks) through the fused Pallas kernel
+    (ops/pallas/flash_attention.py), including training with
+    attention-weight dropout (in-kernel PRNG).  Calls passing a raw 4-D
+    ``bias`` or requesting weights fall back to the XLA einsum path.
     """
 
     d_model: int
     n_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         dense = lambda name: nn.Dense(  # noqa: E731
@@ -118,10 +124,43 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_weights: bool = False,
+        key_bias: Optional[jnp.ndarray] = None,  # (B, Tk) additive
+        causal: bool = False,
     ):
-        """Attention with already-projected K/V (KV-cache path)."""
+        """Attention with already-projected K/V (KV-cache path).
+
+        Masking comes either as a raw broadcastable ``bias`` (XLA path only)
+        or as structured ``key_bias``+``causal`` (eligible for flash).
+        """
         q = split_heads(self.q_proj(q_in), self.n_heads)
-        rng = self.make_rng("dropout") if (self.dropout > 0 and train) else None
+        dropout_active = self.dropout > 0 and train
+        rng = self.make_rng("dropout") if dropout_active else None
+
+        flash_ok = (
+            self.use_flash
+            and not return_weights
+            and bias is None
+            and q.shape[1] >= 8
+        )
+        if flash_ok:
+            from transformertts_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(
+                q, k, v, key_bias, causal=causal,
+                dropout=self.dropout if dropout_active else 0.0,
+                dropout_rng=rng,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return self.out_proj(merge_heads(out)), None
+
+        if key_bias is not None or causal:
+            from transformertts_tpu.models.masks import causal_bias
+
+            extra = key_bias[:, None, None, :] if key_bias is not None else None
+            if causal:
+                cb = causal_bias(q.shape[1])
+                extra = cb if extra is None else extra + cb
+            bias = extra if bias is None else bias + extra
         out, w = dot_product_attention(
             q, k, v, bias, self.dropout, not train, rng, return_weights
         )
@@ -134,6 +173,8 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_weights: bool = False,
+        key_bias: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ):
         k, v = self.project_kv(kv_in)
-        return self.attend(q_in, k, v, bias, train, return_weights)
+        return self.attend(q_in, k, v, bias, train, return_weights, key_bias, causal)

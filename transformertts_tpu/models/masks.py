@@ -21,8 +21,13 @@ def lengths_to_valid_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 
 def padding_bias(lengths: jnp.ndarray, max_len: int, dtype=jnp.float32) -> jnp.ndarray:
     """(B, 1, 1, max_len) additive bias masking padded KEY positions."""
+    return key_padding_bias(lengths, max_len, dtype)[:, None, None, :]
+
+
+def key_padding_bias(lengths: jnp.ndarray, max_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, max_len) additive key bias: 0 valid, NEG_INF padded."""
     valid = lengths_to_valid_mask(lengths, max_len)
-    return jnp.where(valid, 0.0, NEG_INF).astype(dtype)[:, None, None, :]
+    return jnp.where(valid, 0.0, NEG_INF).astype(dtype)
 
 
 def causal_bias(t: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -61,17 +61,20 @@ class EncoderLayer(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
-        self.self_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+        )
         self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
         self.norm1 = _layer_norm(self.dtype, "norm1")
         self.norm2 = _layer_norm(self.dtype, "norm2")
         self.drop1 = nn.Dropout(self.dropout)
         self.drop2 = nn.Dropout(self.dropout)
 
-    def __call__(self, x, bias=None, train: bool = False):
-        sa, _ = self.self_attn(x, x, bias, train)
+    def __call__(self, x, key_bias=None, train: bool = False):
+        sa, _ = self.self_attn(x, x, None, train, key_bias=key_bias)
         x = self.norm1(x + self.drop1(sa, deterministic=not train))
         ff = self.ffn(x, train)
         x = self.norm2(x + self.drop2(ff, deterministic=not train))
@@ -85,14 +88,15 @@ class Encoder(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias=None, train: bool = False):
+    def __call__(self, x, key_bias=None, train: bool = False):
         for i in range(self.n_layers):
             x = EncoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                name=f"layer_{i}",
-            )(x, bias, train)
+                self.use_flash, name=f"layer_{i}",
+            )(x, key_bias, train)
         return x
 
 
@@ -102,10 +106,15 @@ class DecoderLayer(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
-        self.self_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
-        self.cross_attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout, self.dtype)
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+        )
         self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
         self.norm1 = _layer_norm(self.dtype, "norm1")
         self.norm2 = _layer_norm(self.dtype, "norm2")
@@ -118,15 +127,16 @@ class DecoderLayer(nn.Module):
         self,
         x,
         memory,
-        self_bias=None,
-        cross_bias=None,
+        tgt_key_bias=None,
+        mem_key_bias=None,
         train: bool = False,
         return_alignments: bool = True,
     ):
-        sa, _ = self.self_attn(x, x, self_bias, train)
+        sa, _ = self.self_attn(x, x, None, train, key_bias=tgt_key_bias, causal=True)
         x = self.norm1(x + self.drop1(sa, deterministic=not train))
         ca, align = self.cross_attn(
-            x, memory, cross_bias, train, return_weights=return_alignments
+            x, memory, None, train, return_weights=return_alignments,
+            key_bias=mem_key_bias,
         )
         x = self.norm2(x + self.drop2(ca, deterministic=not train))
         ff = self.ffn(x, train)
@@ -158,12 +168,13 @@ class Decoder(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.layers = [
             DecoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                name=f"layer_{i}",
+                self.use_flash, name=f"layer_{i}",
             )
             for i in range(self.n_layers)
         ]
@@ -172,14 +183,14 @@ class Decoder(nn.Module):
         self,
         x,
         memory,
-        self_bias=None,
-        cross_bias=None,
+        tgt_key_bias=None,
+        mem_key_bias=None,
         train: bool = False,
         return_alignments: bool = True,
     ):
         alignments = []
         for layer in self.layers:
-            x, align = layer(x, memory, self_bias, cross_bias, train, return_alignments)
+            x, align = layer(x, memory, tgt_key_bias, mem_key_bias, train, return_alignments)
             if return_alignments:
                 alignments.append(align)
         # (L, B, H, T_mel, T_phon) stacked — reference returns a Python list

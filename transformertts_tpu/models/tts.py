@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from transformertts_tpu.config import ModelConfig
-from transformertts_tpu.models.masks import causal_bias, combine, padding_bias
+from transformertts_tpu.models.masks import key_padding_bias
 from transformertts_tpu.models.modules import (
     DecoderPreNet,
     EncoderPreNet,
@@ -36,6 +36,7 @@ def shift_right(mel: jnp.ndarray) -> jnp.ndarray:
 class TransformerTTS(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # fused Pallas attention (runtime.use_pallas_attention)
 
     def setup(self):
         c = self.cfg
@@ -55,11 +56,11 @@ class TransformerTTS(nn.Module):
         self.pe = ScaledPositionalEncoding(c.d_model, 0.1, c.max_len, self.dtype)
         self.encoder = Encoder(
             c.encoder_n_layers, c.d_model, c.encoder_n_head, c.encoder_d_ffn,
-            c.encoder_dropout, self.dtype,
+            c.encoder_dropout, self.dtype, self.use_flash,
         )
         self.decoder = Decoder(
             c.decoder_n_layers, c.d_model, c.decoder_n_head, c.decoder_d_ffn,
-            c.decoder_dropout, self.dtype,
+            c.decoder_dropout, self.dtype, self.use_flash,
         )
         self.postnet = PostNet(
             c.postnet_n_layers, c.n_mels, c.d_model, c.postnet_kernel_size,
@@ -74,12 +75,13 @@ class TransformerTTS(nn.Module):
         phoneme_lens: Optional[jnp.ndarray],  # (B,) or None => no padding mask
         train: bool = False,
     ) -> jnp.ndarray:
-        src_bias = (
-            padding_bias(phoneme_lens, phoneme.shape[1]) if phoneme_lens is not None else None
+        src_key_bias = (
+            key_padding_bias(phoneme_lens, phoneme.shape[1])
+            if phoneme_lens is not None else None
         )
         x = self.emb(phoneme).astype(self.dtype)
         x = self.pe(self.enc_prenet(x, train), train)
-        return self.encoder(x, src_bias, train)
+        return self.encoder(x, src_key_bias, train)
 
     def decode(
         self,
@@ -91,15 +93,15 @@ class TransformerTTS(nn.Module):
         return_alignments: bool = True,
     ):
         t_mel = tgt_in.shape[1]
-        self_bias = combine(
-            causal_bias(t_mel),
-            padding_bias(mel_lens, t_mel) if mel_lens is not None else None,
+        tgt_key_bias = (
+            key_padding_bias(mel_lens, t_mel) if mel_lens is not None else None
         )
-        cross_bias = (
-            padding_bias(phoneme_lens, memory.shape[1]) if phoneme_lens is not None else None
+        mem_key_bias = (
+            key_padding_bias(phoneme_lens, memory.shape[1])
+            if phoneme_lens is not None else None
         )
         x = self.pe(self.dec_prenet(tgt_in.astype(self.dtype), train), train)
-        return self.decoder(x, memory, self_bias, cross_bias, train, return_alignments)
+        return self.decoder(x, memory, tgt_key_bias, mem_key_bias, train, return_alignments)
 
     def __call__(
         self,

@@ -1,0 +1,290 @@
+"""Fused multi-head attention Pallas kernel (forward + backward + dropout).
+
+Replaces the ATen fused attention the reference reaches via torch
+(SURVEY.md §2.2) with a TPU-native kernel.  Design point: TTS sequences are
+short (mel <= ~900 frames, phonemes <= ~180), so keys/values for one
+(batch, head) fit comfortably in VMEM.  The kernel therefore:
+
+- grids over (batch*heads, q-blocks), holding full K/V rows in VMEM;
+- computes scores -> bias/causal mask -> fp32 softmax -> (optional
+  attention-weight dropout, torch-MHA style) -> output fused; the O(T^2)
+  score matrix never touches HBM (XLA's unfused path writes + reads it
+  twice per layer per direction — the HBM-bandwidth win);
+- saves per-row log-sum-exp for the backward pass;
+- backward recomputes probabilities blockwise (regenerating the identical
+  dropout mask from the same per-(bh, q-block) PRNG seed) and accumulates
+  dK/dV in VMEM scratch across q-blocks, emitting dQ per block.
+
+Masking: optional causal flag (self-attention) + additive key bias (B, Tk)
+with 0 / -1e9 entries (padding), matching models/masks.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _pick_block(t: int) -> int:
+    for cand in (256, 128, 64, 32, 16, 8):
+        if t % cand == 0:
+            return cand
+    return t
+
+
+def _dropout_mask(shape, dropout: float):
+    """Regenerable keep-mask from the already-seeded per-block PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(int(dropout * 4294967296.0))
+    return bits >= threshold
+
+
+def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0].astype(jnp.float32)  # (1, Tk) broadcasts over rows
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col <= row, s, NEG_INF)
+    return s
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    *, scale, causal, block_q, dropout,
+):
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    p = e / l
+    if dropout > 0.0:
+        pltpu.prng_seed(seed_ref[0], bh, qi)
+        keep = _dropout_mask(p.shape, dropout)
+        p = jnp.where(keep, p / (1.0 - dropout), 0.0)
+    v = v_ref[0].astype(jnp.float32)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block_q = _pick_block(tq)
+
+    q4 = q.reshape(b * h, tq, d)
+    k4 = k.reshape(b * h, tk, d)
+    v4 = v.reshape(b * h, tk, d)
+    bias2 = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, 1, tk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh, qi, *_: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh, qi)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, block_q=block_q, dropout=dropout
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q4, k4, v4, bias2)
+    return out.reshape(b, h, tq, d), lse.reshape(b, h, tq)
+
+
+# ----------------------------------------------------------------- backward
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, causal, block_q, dropout,
+):
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    n_q = pl.num_programs(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
+    lse = lse_ref[0]  # (block_q,)
+    p = jnp.exp(s - lse[:, None])  # pre-dropout probabilities
+
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    dp_tilde = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, Tk) = dL/d(p_dropped)
+    if dropout > 0.0:
+        pltpu.prng_seed(seed_ref[0], bh, qi)  # identical mask to forward
+        keep = _dropout_mask(p.shape, dropout)
+        inv = 1.0 / (1.0 - dropout)
+        p_dropped = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dp_tilde * inv, 0.0)
+    else:
+        p_dropped = p
+        dp = dp_tilde
+
+    dv_acc[...] += jax.lax.dot_general(
+        p_dropped, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tk, D)
+
+    # delta_i = sum_k dp~_ik p~_ik = dO_i . O_i
+    delta = jnp.sum(do * o, axis=1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd(scale, causal, dropout, interpret, res, g):
+    q, k, v, bias, seed, out, lse = res
+    do = g
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block_q = _pick_block(tq)
+
+    q4 = q.reshape(b * h, tq, d)
+    k4 = k.reshape(b * h, tk, d)
+    v4 = v.reshape(b * h, tk, d)
+    o4 = out.reshape(b * h, tq, d)
+    do4 = do.reshape(b * h, tq, d)
+    lse4 = lse.reshape(b * h, tq)
+    bias2 = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, 1, tk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, tk), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh, qi)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, d), jnp.float32),
+            pltpu.VMEM((tk, d), jnp.float32),
+        ],
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, causal=causal, block_q=block_q, dropout=dropout
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(seed, q4, k4, v4, bias2, o4, lse4, do4)
+    return (
+        dq.reshape(b, h, tq, d),
+        dk.reshape(b, h, tk, d),
+        dv.reshape(b, h, tk, d),
+        None,
+        None,
+    )
+
+
+# -------------------------------------------------------------------- public
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, bias, seed, scale, causal, dropout, interpret):
+    out, _ = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
+    out, lse = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Tq, H, D) — layout used by models/attention.py
+    k: jnp.ndarray,  # (B, Tk, H, D)
+    v: jnp.ndarray,  # (B, Tk, H, D)
+    key_bias: jnp.ndarray | None = None,  # (B, Tk) additive, 0 / -1e9
+    causal: bool = False,
+    dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention; differentiable; returns (B, Tq, H, D)."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if key_bias is None:
+        key_bias = jnp.zeros((b, tk), jnp.float32)
+    if dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout > 0 requires dropout_rng")
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    scale = d ** -0.5
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash(
+        qt, kt, vt, key_bias.astype(jnp.float32), seed, scale, causal,
+        float(dropout), interpret,
+    )
+    return out.transpose(0, 2, 1, 3)
