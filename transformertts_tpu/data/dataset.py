@@ -106,6 +106,7 @@ class BucketedLoader:
         seed: int = 42,
         process_index: int = 0,
         process_count: int = 1,
+        use_native: bool | str = "auto",
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -116,6 +117,19 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+
+        # C++ threaded batch loader (native/npz_loader.cpp); auto-falls back
+        # to the numpy path if the toolchain or uncompressed npz aren't there.
+        self._native = None
+        if use_native and hasattr(dataset, "files"):
+            try:
+                from transformertts_tpu.native import NativeBatchLoader
+
+                self._native = NativeBatchLoader(dataset.files)
+            except Exception as e:  # noqa: BLE001
+                if use_native != "auto":
+                    raise
+                log.info("native loader disabled: %s", e)
 
         # bucket assignment (items too long for the largest bucket are dropped)
         self.buckets: dict[tuple[int, int], list[int]] = {}
@@ -146,6 +160,16 @@ class BucketedLoader:
         return n
 
     def _pad_batch(self, idxs: list[int], bp: int, bm: int) -> dict:
+        if self._native is not None:
+            try:
+                batch = self._native.load_batch(np.asarray(idxs, np.int32), bp, bm, self.n_mels)
+            except RuntimeError as e:
+                log.warning("native loader failed (%s); using numpy path", e)
+                self._native = None
+            else:
+                # sort desc by phoneme length (ref: dataset.py:74-77)
+                order = np.argsort(-batch["phoneme_lens"], kind="stable")
+                return {name: arr[order] for name, arr in batch.items()}
         b = len(idxs)
         items = [self.ds[i] for i in idxs]
         # sort desc by phoneme length (ref: dataset.py:74-77)

@@ -43,6 +43,7 @@ class Trainer:
         self.model = TransformerTTS(
             cfg.model,
             dtype=jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32,
+            use_flash=cfg.runtime.use_pallas_attention,
         )
 
         r = cfg.runtime
