@@ -52,6 +52,10 @@ def synthetic_epoch_batch(rng, k, b):
 def main():
     import jax
 
+    from transformertts_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from transformertts_tpu.config import Config
     from transformertts_tpu.models import TransformerTTS
     from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state

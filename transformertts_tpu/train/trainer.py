@@ -37,6 +37,9 @@ from transformertts_tpu.utils import plot as plots
 
 class Trainer:
     def __init__(self, cfg: Config, exp_dir: str | Path, resume: bool = True):
+        from transformertts_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg
         self.exp_dir = Path(exp_dir)
         self.log = setup_logger(str(self.exp_dir / "train.log"))
@@ -185,6 +188,31 @@ class Trainer:
             out["alignments"], batch["melspec_lens"][0], batch["phoneme_lens"][0],
             e / "align_single" / f"epoch_{epoch:04d}.png",
         )
+        # scheduled-sampling mixed-input visualization (ref plots the actual
+        # training inputs every log_interval; here: reproduce the mix from
+        # this batch's predictions at the current epoch's p_tf)
+        p_tf = teacher_forcing_ratio(
+            epoch, self.cfg.training.num_epochs,
+            self.cfg.training.teacher_forcing_mode,
+            self.cfg.training.teacher_forcing_warmup_epochs,
+        )
+        if p_tf < 1.0:
+            import jax.numpy as jnp
+
+            from transformertts_tpu.train.sampling import apply_teacher_forcing
+
+            mixed = apply_teacher_forcing(
+                jax.random.PRNGKey(epoch),
+                jnp.asarray(out["pred_melspec"]),
+                jnp.asarray(batch["melspec"]),
+                jnp.asarray(batch["melspec_lens"]),
+                p_tf,
+                self.cfg.training.scheduled_sampling_block,
+            )
+            plots.plot_mels_scheduled(
+                jax.device_get(mixed), batch["melspec"], batch["melspec_lens"],
+                e / "mels_scheduled" / f"epoch_{epoch:04d}.png",
+            )
 
     def _free_running_plot(self, epoch: int):
         """Run inference on one cached val sample (ref: lightning_module.py:146-157)."""
