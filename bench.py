@@ -56,17 +56,18 @@ def main():
 
     enable_compile_cache()
 
-    from transformertts_tpu.config import Config
+    from transformertts_tpu.config import Config, apply_overrides
     from transformertts_tpu.models import TransformerTTS
     from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
     from transformertts_tpu.train import create_train_state, make_train_step
 
-    cfg = Config().validate()
+    cfg = apply_overrides(Config().validate(), sys.argv[1:])
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
     dtype = jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
-    model = TransformerTTS(cfg.model, dtype=dtype)
+    model = TransformerTTS(cfg.model, dtype=dtype,
+                           use_flash=cfg.runtime.use_pallas_attention)
 
     k, b = cfg.training.grad_acc_steps, cfg.training.batch_size
     rng = np.random.default_rng(0)
@@ -98,16 +99,17 @@ def main():
 
     with mesh:
         sharded = shard_batch(batch, mesh)
-        # warmup / compile
+        # compile + saturate the async dispatch queue so the timed window
+        # measures execution, not dispatch (the axon relay acks dispatches
+        # long before execution completes)
         t0 = time.perf_counter()
-        for i in range(3):
+        for i in range(15):
             state, metrics = step(state, sharded, 0.8, key)
-            jax.block_until_ready(metrics["total"])
-            print(f"warmup step {i}: {time.perf_counter() - t0:.1f}s cumulative",
-                  file=sys.stderr)
+        _ = float(jax.device_get(metrics["total"]))  # forced readback
         compile_and_warmup = time.perf_counter() - t0
+        print(f"compile+warmup: {compile_and_warmup:.1f}s", file=sys.stderr)
 
-        n_steps = 20
+        n_steps = 50
         batches = [synthetic_epoch_batch(rng, k, b) for _ in range(4)]
         shardeds = [shard_batch(x, mesh) for x in batches]
         audio_seconds = 0.0
@@ -116,7 +118,7 @@ def main():
             bi = shardeds[i % len(shardeds)]
             audio_seconds += float(batches[i % len(batches)]["melspec_lens"].sum()) * audio_sec_per_frame
             state, metrics = step(state, bi, 0.8, key)
-        jax.block_until_ready(metrics["total"])
+        _ = float(jax.device_get(metrics["total"]))  # forces full completion
         elapsed = time.perf_counter() - t0
 
     value = audio_seconds / elapsed / n_dev

@@ -18,13 +18,23 @@ def _add_common(p):
 
 
 def cmd_train(args):
+    import os
+
     from transformertts_tpu.config import load_config
     from transformertts_tpu.train.trainer import Trainer
     from transformertts_tpu.utils import increment_path
 
+    if args.distributed or os.environ.get("TTS_DISTRIBUTED"):
+        # multi-host pod slice: one process per host (SURVEY.md §5.8);
+        # coordinator/process env comes from the TPU runtime or flags
+        import jax
+
+        jax.distributed.initialize()
+
     cfg = load_config(args.config, args.overrides)
     exp_dir = args.exp_dir or increment_path(cfg.path.experiment)
-    trainer = Trainer(cfg, exp_dir, resume=not args.no_resume)
+    trainer = Trainer(cfg, exp_dir, resume=not args.no_resume,
+                      profile_steps=args.profile_steps)
     result = trainer.fit()
     print(f"done: best val loss {result['best_val']:.4f} after {result['epochs']} epochs")
 
@@ -93,6 +103,10 @@ def main(argv=None):
     _add_common(p_train)
     p_train.add_argument("--exp-dir", default=None)
     p_train.add_argument("--no-resume", action="store_true")
+    p_train.add_argument("--distributed", action="store_true",
+                         help="multi-host: call jax.distributed.initialize()")
+    p_train.add_argument("--profile-steps", type=int, default=0,
+                         help="capture a jax.profiler trace of N steps")
     p_train.set_defaults(fn=cmd_train)
 
     p_pre = sub.add_parser("preprocess", help="offline feature extraction")

@@ -36,10 +36,12 @@ from transformertts_tpu.utils import plot as plots
 
 
 class Trainer:
-    def __init__(self, cfg: Config, exp_dir: str | Path, resume: bool = True):
+    def __init__(self, cfg: Config, exp_dir: str | Path, resume: bool = True,
+                 profile_steps: int = 0):
         from transformertts_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        self.profile_steps = profile_steps
         self.cfg = cfg
         self.exp_dir = Path(exp_dir)
         self.log = setup_logger(str(self.exp_dir / "train.log"))
@@ -110,7 +112,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
 
-    def train_epoch(self, epoch: int) -> dict:
+    def train_epoch(self, epoch: int, profile_steps: int = 0) -> dict:
+        """One epoch; ``profile_steps > 0`` captures a jax.profiler trace of
+        that many steps into <exp_dir>/profile (SURVEY.md §5.1 — the
+        reference has no tracing)."""
         cfg = self.cfg
         p_tf = teacher_forcing_ratio(
             epoch, cfg.training.num_epochs, cfg.training.teacher_forcing_mode,
@@ -122,13 +127,21 @@ class Trainer:
 
         totals, n_steps = {}, 0
         audio_seconds = 0.0
+        profiling = False
         t_start = time.perf_counter()
         with self.mesh:
             for batch in self.train_loader.epoch(epoch):
+                if profile_steps and n_steps == 1 and not profiling:
+                    jax.profiler.start_trace(str(self.exp_dir / "profile"))
+                    profiling = True
                 audio_seconds += float(batch["melspec_lens"].sum()) * self.audio_sec_per_frame
                 sharded = shard_batch(batch, self.mesh)
                 self.state, metrics = step_fn(self.state, sharded, p_tf, rng)
                 n_steps += 1
+                if profiling and n_steps >= 1 + profile_steps:
+                    jax.block_until_ready(metrics["total"])
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if n_steps % cfg.training.log_interval == 0:
                     metrics = jax.device_get(metrics)
                     step_now = int(jax.device_get(self.state.step))
@@ -140,6 +153,8 @@ class Trainer:
                 for name, val in jax.device_get(metrics).items():
                     totals[name] = totals.get(name, 0.0) + float(val)
 
+        if profiling:  # epoch shorter than profile window
+            jax.profiler.stop_trace()
         elapsed = time.perf_counter() - t_start
         avg = {name: v / max(n_steps, 1) for name, v in totals.items()}
         avg["audio_s_per_s"] = audio_seconds / elapsed
@@ -241,7 +256,9 @@ class Trainer:
         best_val, patience = float("inf"), 0
         history = []
         for epoch in range(self.start_epoch, cfg.training.num_epochs):
-            train_metrics = self.train_epoch(epoch)
+            train_metrics = self.train_epoch(
+                epoch, self.profile_steps if epoch == self.start_epoch else 0
+            )
             val_loss = self.validate(epoch)
             history.append({"epoch": epoch, **train_metrics, "val_loss": val_loss})
 
