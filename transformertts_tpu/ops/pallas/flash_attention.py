@@ -72,10 +72,11 @@ def _fwd_kernel(
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # lse block spans the full row (Mosaic block-shape rule); write our slice
+    lse_ref[0, 0, pl.ds(qi * block_q, block_q)] = (m + jnp.log(l))[:, 0]
     p = e / l
     if dropout > 0.0:
-        pltpu.prng_seed(seed_ref[0], bh, qi)
+        pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)
         keep = _dropout_mask(p.shape, dropout)
         p = jnp.where(keep, p / (1.0 - dropout), 0.0)
     v = v_ref[0].astype(jnp.float32)
@@ -106,7 +107,7 @@ def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh, qi)),
+            pl.BlockSpec((1, 1, tq), lambda bh, qi, *_: (bh, 0, 0)),
         ],
     )
     out, lse = pl.pallas_call(
@@ -116,7 +117,7 @@ def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tq), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, tq), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q4, k4, v4, bias2)
@@ -141,7 +142,7 @@ def _bwd_kernel(
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
-    lse = lse_ref[0]  # (block_q,)
+    lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]  # (block_q,) of full row
     p = jnp.exp(s - lse[:, None])  # pre-dropout probabilities
 
     v = v_ref[0].astype(jnp.float32)
@@ -152,7 +153,7 @@ def _bwd_kernel(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, Tk) = dL/d(p_dropped)
     if dropout > 0.0:
-        pltpu.prng_seed(seed_ref[0], bh, qi)  # identical mask to forward
+        pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)  # identical mask to forward
         keep = _dropout_mask(p.shape, dropout)
         inv = 1.0 / (1.0 - dropout)
         p_dropped = jnp.where(keep, p * inv, 0.0)
@@ -195,7 +196,7 @@ def _bwd(scale, causal, dropout, interpret, res, g):
     v4 = v.reshape(b * h, tk, d)
     o4 = out.reshape(b * h, tq, d)
     do4 = do.reshape(b * h, tq, d)
-    lse4 = lse.reshape(b * h, tq)
+    lse4 = lse.reshape(b * h, 1, tq)
     bias2 = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, 1, tk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -207,7 +208,7 @@ def _bwd(scale, causal, dropout, interpret, res, g):
             pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, 1, tk), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh, qi)),
+            pl.BlockSpec((1, 1, tq), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
         ],
         out_specs=[
