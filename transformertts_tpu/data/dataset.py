@@ -107,6 +107,7 @@ class BucketedLoader:
         process_index: int = 0,
         process_count: int = 1,
         use_native: bool | str = "auto",
+        n_threads: int = 4,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -125,7 +126,7 @@ class BucketedLoader:
             try:
                 from transformertts_tpu.native import NativeBatchLoader
 
-                self._native = NativeBatchLoader(dataset.files)
+                self._native = NativeBatchLoader(dataset.files, n_threads=n_threads)
             except Exception as e:  # noqa: BLE001
                 if use_native != "auto":
                     raise

@@ -63,7 +63,7 @@ def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
 
 
 def _fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     *, scale, causal, block_q, dropout,
 ):
     bh, qi = pl.program_id(0), pl.program_id(1)
@@ -72,8 +72,6 @@ def _fwd_kernel(
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    # lse block spans the full row (Mosaic block-shape rule); write our slice
-    lse_ref[0, 0, pl.ds(qi * block_q, block_q)] = (m + jnp.log(l))[:, 0]
     p = e / l
     if dropout > 0.0:
         pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)
@@ -105,30 +103,24 @@ def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
             pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, 1, tk), lambda bh, qi, *_: (bh, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, 1, tq), lambda bh, qi, *_: (bh, 0, 0)),
-        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
     )
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, causal=causal, block_q=block_q, dropout=dropout
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, tq), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
         interpret=interpret,
     )(seed, q4, k4, v4, bias2)
-    return out.reshape(b, h, tq, d), lse.reshape(b, h, tq)
+    return out.reshape(b, h, tq, d)
 
 
 # ----------------------------------------------------------------- backward
 
 
 def _bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, dropout,
@@ -141,9 +133,13 @@ def _bwd_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
+    # full K rows are resident in VMEM, so the softmax stats are recomputed
+    # here instead of saving LSE in the forward (avoids a lane-unaligned
+    # dynamic write that Mosaic rejects for small q-blocks)
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
-    lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]  # (block_q,) of full row
-    p = jnp.exp(s - lse[:, None])  # pre-dropout probabilities
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)  # pre-dropout probabilities
 
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
@@ -185,7 +181,7 @@ def _bwd_kernel(
 
 
 def _bwd(scale, causal, dropout, interpret, res, g):
-    q, k, v, bias, seed, out, lse = res
+    q, k, v, bias, seed, out = res
     do = g
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -196,7 +192,6 @@ def _bwd(scale, causal, dropout, interpret, res, g):
     v4 = v.reshape(b * h, tk, d)
     o4 = out.reshape(b * h, tq, d)
     do4 = do.reshape(b * h, tq, d)
-    lse4 = lse.reshape(b * h, 1, tq)
     bias2 = jnp.broadcast_to(bias[:, None, :], (b, h, tk)).reshape(b * h, 1, tk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -208,7 +203,6 @@ def _bwd(scale, causal, dropout, interpret, res, g):
             pl.BlockSpec((1, tk, d), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, 1, tk), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, 1, tq), lambda bh, qi, *_: (bh, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
         ],
         out_specs=[
@@ -232,7 +226,7 @@ def _bwd(scale, causal, dropout, interpret, res, g):
             jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
         ],
         interpret=interpret,
-    )(seed, q4, k4, v4, bias2, o4, lse4, do4)
+    )(seed, q4, k4, v4, bias2, o4, do4)
     return (
         dq.reshape(b, h, tq, d),
         dk.reshape(b, h, tk, d),
@@ -247,13 +241,12 @@ def _bwd(scale, causal, dropout, interpret, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash(q, k, v, bias, seed, scale, causal, dropout, interpret):
-    out, _ = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
-    return out
+    return _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
 
 
 def _flash_fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
-    out, lse = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
-    return out, (q, k, v, bias, seed, out, lse)
+    out = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
+    return out, (q, k, v, bias, seed, out)
 
 
 _flash.defvjp(_flash_fwd, _bwd)

@@ -79,6 +79,7 @@ class Trainer:
             seed=cfg.training.seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            n_threads=cfg.training.num_workers,
         )
         self.train_loader = BucketedLoader(
             train_ds, cfg.training.batch_size,
@@ -129,8 +130,10 @@ class Trainer:
         audio_seconds = 0.0
         profiling = False
         t_start = time.perf_counter()
+        from transformertts_tpu.data.prefetch import prefetch
+
         with self.mesh:
-            for batch in self.train_loader.epoch(epoch):
+            for batch in prefetch(self.train_loader.epoch(epoch)):
                 if profile_steps and n_steps == 1 and not profiling:
                     jax.profiler.start_trace(str(self.exp_dir / "profile"))
                     profiling = True
