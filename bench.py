@@ -62,6 +62,7 @@ def main():
     from transformertts_tpu.train import create_train_state, make_train_step
 
     cfg = apply_overrides(Config().validate(), sys.argv[1:])
+    jax.config.update("jax_default_prng_impl", cfg.runtime.prng_impl)
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 

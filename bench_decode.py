@@ -1,0 +1,79 @@
+"""Inference benchmark: KV-cached autoregressive decode throughput.
+
+The reference decodes with a full-decoder recompute per frame and no KV
+cache (model/model.py:354-374).  This measures our single-compiled-program
+`lax.while_loop` decode in generated mel frames/s and audio-seconds of
+speech synthesized per wall-clock second (batch and single-utterance).
+
+Writes bench_decode.json; not part of the driver's bench.py contract.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from transformertts_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from transformertts_tpu.config import Config, apply_overrides
+    from transformertts_tpu.infer import make_decode_fn
+    from transformertts_tpu.models import TransformerTTS
+
+    cfg = apply_overrides(Config().validate(), sys.argv[1:])
+    dtype = jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
+    model = TransformerTTS(cfg.model, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    results = {}
+    audio_sec_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
+
+    for name, (b, max_len) in {
+        "single_utterance": (1, 512),
+        "batch16": (16, 512),
+    }.items():
+        tp = 128
+        phoneme = np.asarray(rng.integers(1, 80, (b, tp)), np.int32)
+        lens = np.full((b,), tp, np.int32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            phoneme[:, :16], np.zeros((b, 32, cfg.model.n_mels), np.float32),
+            np.full((b,), 16, np.int32), np.full((b,), 32, np.int32), train=False,
+        )
+        # threshold 2.0 => decode always runs to max_len (worst case)
+        decode = make_decode_fn(model, cfg, max_len=max_len, stop_threshold=2.0)
+        out = decode(variables, phoneme, lens)
+        n = int(jax.device_get(out["n_frames"]))  # forces completion (compile)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = decode(variables, phoneme, lens)
+        n = int(jax.device_get(out["n_frames"]))  # forces completion
+        dt = (time.perf_counter() - t0) / reps
+        frames = b * max_len
+        results[name] = {
+            "max_len": max_len,
+            "batch": b,
+            "decode_s": dt,
+            "frames_per_s": frames / dt,
+            "ms_per_frame_step": dt / max_len * 1000,
+            "audio_s_per_s": frames * audio_sec_per_frame / dt,
+            "rtf_per_utterance": (max_len * audio_sec_per_frame) / dt,
+        }
+        print(name, results[name], file=sys.stderr)
+
+    with open("bench_decode.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,10 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay float32
     use_pallas_attention: bool = False  # flash-attention Pallas kernel path
     use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
+    # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
+    # counter-based threefry (dozens of dropout masks per step); streams
+    # differ between impls but statistics are identical.
+    prng_impl: str = "threefry2x32"  # "threefry2x32" | "rbg"
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     # Static (phoneme, mel) padded-length buckets to bound recompilation
@@ -138,6 +142,8 @@ class RuntimeConfig:
     def validate(self) -> None:
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
+        if self.prng_impl not in ("threefry2x32", "rbg", "unsafe_rbg"):
+            raise ValueError(f"bad prng_impl: {self.prng_impl}")
         if list(self.phoneme_buckets) != sorted(self.phoneme_buckets) or not self.phoneme_buckets:
             raise ValueError("phoneme_buckets must be sorted and non-empty")
         if list(self.mel_buckets) != sorted(self.mel_buckets) or not self.mel_buckets:

@@ -41,6 +41,7 @@ class Trainer:
         from transformertts_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        jax.config.update("jax_default_prng_impl", cfg.runtime.prng_impl)
         self.profile_steps = profile_steps
         self.cfg = cfg
         self.exp_dir = Path(exp_dir)
