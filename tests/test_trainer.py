@@ -25,6 +25,8 @@ def trained(corpus, tmp_path_factory):  # noqa: F811
         "training.num_epochs=2", "training.log_interval=1",
         "training.teacher_forcing_warmup_epochs=0",
         "runtime.compute_dtype=float32",
+        # CPU test: XLA attention (flash would run in slow interpret mode)
+        "runtime.use_pallas_attention=false", "runtime.prng_impl=threefry2x32",
         "runtime.phoneme_buckets=[32]", "runtime.mel_buckets=[64,128]",
         "runtime.infer_max_len=16",
     ])

@@ -124,12 +124,14 @@ class RuntimeConfig:
     """TPU-specific runtime knobs (no reference equivalent; SURVEY.md §5.8)."""
 
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay float32
-    use_pallas_attention: bool = False  # flash-attention Pallas kernel path
+    use_pallas_attention: bool = True  # flash-attention Pallas kernel path
     use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.
-    prng_impl: str = "threefry2x32"  # "threefry2x32" | "rbg"
+    # measured: 2319 (threefry+xla-attn) -> 4107 (flash) -> 7067 audio-s/s
+    # (flash+rbg) on one v5e chip, reference-parity config.
+    prng_impl: str = "rbg"  # "threefry2x32" | "rbg"
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     # Static (phoneme, mel) padded-length buckets to bound recompilation
