@@ -71,6 +71,73 @@ _LEXICON: dict[str, list[str]] = {
     "printing": ["P", "R", "IH1", "N", "T", "IH0", "NG"],
     "mister": ["M", "IH1", "S", "T", "ER0"],
     "missus": ["M", "IH1", "S", "AH0", "Z"],
+    "doctor": ["D", "AA1", "K", "T", "ER0"],
+    "saint": ["S", "EY1", "N", "T"],
+    "company": ["K", "AH1", "M", "P", "AH0", "N", "IY0"],
+    "junior": ["JH", "UW1", "N", "Y", "ER0"],
+    "any": ["EH1", "N", "IY0"], "every": ["EH1", "V", "ER0", "IY0"],
+    "our": ["AW1", "ER0"], "us": ["AH1", "S"], "me": ["M", "IY1"],
+    "you": ["Y", "UW1"], "i": ["AY1"], "am": ["AE1", "M"],
+    "because": ["B", "IH0", "K", "AO1", "Z"],
+    "before": ["B", "IH0", "F", "AO1", "R"],
+    "after": ["AE1", "F", "T", "ER0"],
+    "again": ["AH0", "G", "EH1", "N"],
+    "against": ["AH0", "G", "EH1", "N", "S", "T"],
+    "between": ["B", "IH0", "T", "W", "IY1", "N"],
+    "both": ["B", "OW1", "TH"], "being": ["B", "IY1", "IH0", "NG"],
+    "under": ["AH1", "N", "D", "ER0"], "upon": ["AH0", "P", "AA1", "N"],
+    "while": ["W", "AY1", "L"], "during": ["D", "UH1", "R", "IH0", "NG"],
+    "without": ["W", "IH0", "TH", "AW1", "T"],
+    "never": ["N", "EH1", "V", "ER0"], "always": ["AO1", "L", "W", "EY2", "Z"],
+    "here": ["HH", "IY1", "R"], "such": ["S", "AH1", "CH"],
+    "great": ["G", "R", "EY1", "T"], "old": ["OW1", "L", "D"],
+    "new": ["N", "UW1"], "good": ["G", "UH1", "D"],
+    "man": ["M", "AE1", "N"], "men": ["M", "EH1", "N"],
+    "woman": ["W", "UH1", "M", "AH0", "N"],
+    "women": ["W", "IH1", "M", "AH0", "N"],
+    "year": ["Y", "IH1", "R"], "years": ["Y", "IH1", "R", "Z"],
+    "day": ["D", "EY1"], "days": ["D", "EY1", "Z"],
+    "house": ["HH", "AW1", "S"], "world": ["W", "ER1", "L", "D"],
+    "work": ["W", "ER1", "K"], "part": ["P", "AA1", "R", "T"],
+    "place": ["P", "L", "EY1", "S"], "own": ["OW1", "N"],
+    "same": ["S", "EY1", "M"], "even": ["IY1", "V", "IH0", "N"],
+    "another": ["AH0", "N", "AH1", "DH", "ER0"],
+    "much": ["M", "AH1", "CH"], "should": ["SH", "UH1", "D"],
+    "must": ["M", "AH1", "S", "T"], "well": ["W", "EH1", "L"],
+    "also": ["AO1", "L", "S", "OW0"], "found": ["F", "AW1", "N", "D"],
+    "give": ["G", "IH1", "V"], "given": ["G", "IH1", "V", "AH0", "N"],
+    "those": ["DH", "OW1", "Z"], "came": ["K", "EY1", "M"],
+    "come": ["K", "AH1", "M"], "might": ["M", "AY1", "T"],
+    "still": ["S", "T", "IH1", "L"], "shall": ["SH", "AE1", "L"],
+    "says": ["S", "EH1", "Z"], "say": ["S", "EY1"],
+    "hundred": ["HH", "AH1", "N", "D", "R", "AH0", "D"],
+    "thousand": ["TH", "AW1", "Z", "AH0", "N", "D"],
+    "million": ["M", "IH1", "L", "Y", "AH0", "N"],
+    "billion": ["B", "IH1", "L", "Y", "AH0", "N"],
+    "point": ["P", "OY1", "N", "T"], "minus": ["M", "AY1", "N", "AH0", "S"],
+    "zero": ["Z", "IH1", "R", "OW0"], "one": ["W", "AH1", "N"],
+    "three": ["TH", "R", "IY1"], "four": ["F", "AO1", "R"],
+    "five": ["F", "AY1", "V"], "six": ["S", "IH1", "K", "S"],
+    "seven": ["S", "EH1", "V", "AH0", "N"], "eight": ["EY1", "T"],
+    "nine": ["N", "AY1", "N"], "ten": ["T", "EH1", "N"],
+    "eleven": ["IH0", "L", "EH1", "V", "AH0", "N"],
+    "twelve": ["T", "W", "EH1", "L", "V"],
+    "twenty": ["T", "W", "EH1", "N", "T", "IY0"],
+    "thirty": ["TH", "ER1", "T", "IY0"],
+    "forty": ["F", "AO1", "R", "T", "IY0"],
+    "fifty": ["F", "IH1", "F", "T", "IY0"],
+    "sixty": ["S", "IH1", "K", "S", "T", "IY0"],
+    "seventy": ["S", "EH1", "V", "AH0", "N", "T", "IY0"],
+    "eighty": ["EY1", "T", "IY0"],
+    "ninety": ["N", "AY1", "N", "T", "IY0"],
+    "thirteen": ["TH", "ER1", "T", "IY1", "N"],
+    "fourteen": ["F", "AO1", "R", "T", "IY1", "N"],
+    "fifteen": ["F", "IH0", "F", "T", "IY1", "N"],
+    "sixteen": ["S", "IH0", "K", "S", "T", "IY1", "N"],
+    "seventeen": ["S", "EH1", "V", "AH0", "N", "T", "IY1", "N"],
+    "eighteen": ["EY0", "T", "IY1", "N"],
+    "nineteen": ["N", "AY1", "N", "T", "IY1", "N"],
+    "et": ["EH1", "T"], "cetera": ["S", "EH1", "T", "ER0", "AH0"],
 }
 
 _ABBREVIATIONS = {
@@ -117,9 +184,51 @@ _VOWEL_PHONES = {"AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
 _WORD_RE = re.compile(r"[a-z']+|[!'(),.:;?]")
 
 
+_VOICELESS_END = {"P", "T", "K", "F", "TH", "S", "SH", "CH"}
+_SIBILANT_END = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+
+def _suffix_phones(word: str) -> tuple[str, list[str]] | None:
+    """Peel a common inflectional suffix; returns (stem, suffix_phones)."""
+    if len(word) > 5 and word.endswith("ing"):
+        return word[:-3], ["IH0", "NG"]
+    if len(word) > 4 and word.endswith("ly"):
+        return word[:-2], ["L", "IY0"]
+    if len(word) > 5 and word.endswith("ness"):
+        return word[:-4], ["N", "AH0", "S"]
+    if len(word) > 5 and word.endswith("ment"):
+        return word[:-4], ["M", "AH0", "N", "T"]
+    return None
+
+
 def rule_letter_to_sound(word: str) -> list[str]:
     """Deterministic rule-based LTS for out-of-lexicon words."""
     word = word.replace("'", "")
+
+    # inflectional suffixes with phonologically conditioned allomorphs
+    def stem_phones(stem: str) -> list[str]:
+        return list(_LEXICON.get(stem) or rule_letter_to_sound(stem))
+
+    if len(word) > 4 and word.endswith("es") and word[-3] in "sxzh":
+        return stem_phones(word[:-2]) + ["IH0", "Z"]
+    if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+        stem = stem_phones(word[:-1])
+        if stem:
+            last = stem[-1].rstrip("012")
+            if last in _SIBILANT_END:
+                return stem + ["IH0", "Z"]
+            return stem + (["S"] if last in _VOICELESS_END else ["Z"])
+    if len(word) > 4 and word.endswith("ed"):
+        stem = stem_phones(word[:-2])
+        if stem:
+            last = stem[-1].rstrip("012")
+            if last in {"T", "D"}:
+                return stem + ["IH0", "D"]
+            return stem + (["T"] if last in _VOICELESS_END else ["D"])
+    peeled = _suffix_phones(word)
+    if peeled is not None:
+        stem, suf = peeled
+        return stem_phones(stem) + suf
     # silent final e after consonant+vowel+consonant ("make", "time")
     if len(word) > 3 and word.endswith("e") and word[-2] not in "aeiou":
         word = word[:-1]
