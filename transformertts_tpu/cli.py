@@ -94,6 +94,17 @@ def cmd_synthesize(args):
     np.save(args.out, mel.T)  # (n_mels, T) layout like preprocess output
     print(f"wrote {mel.shape[0]} frames to {args.out}")
 
+    if args.wav:
+        from transformertts_tpu.dsp.griffin_lim import griffin_lim, write_wav
+
+        a = cfg.audio
+        y = griffin_lim(
+            mel.T, a.sample_rate, a.n_fft, a.hop_length, a.win_length,
+            a.fmin, a.fmax,
+        )
+        write_wav(args.wav, y, a.sample_rate)
+        print(f"wrote {len(y) / a.sample_rate:.2f}s of audio to {args.wav}")
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="transformertts_tpu")
@@ -118,6 +129,8 @@ def main(argv=None):
     p_syn.add_argument("--ckpt", required=True, help="checkpoint directory")
     p_syn.add_argument("--text", required=True)
     p_syn.add_argument("--out", default="mel.npy")
+    p_syn.add_argument("--wav", default=None,
+                       help="also write audio via Griffin-Lim inversion")
     p_syn.set_defaults(fn=cmd_synthesize)
 
     args = ap.parse_args(argv)
