@@ -73,13 +73,18 @@ def test_preprocess_outputs(corpus):
     assert abs(all_mels.std() - 1.0) < 0.15
 
 
-def test_preprocess_skips_when_nonempty(corpus, caplog):
+def test_preprocess_skips_when_nonempty(corpus):
     root, out, cfg = corpus
-    import logging
+    from unittest.mock import patch
 
-    with caplog.at_level(logging.INFO):
+    import transformertts_tpu.data.preprocess as pp
+
+    before = {p.name: p.stat().st_mtime for p in out.glob("*.npz")}
+    with patch.object(pp.log, "info") as mock_info:
         preprocess(cfg)
-    assert "Skipping" in caplog.text
+    assert any("Skipping" in str(c) for c in mock_info.call_args_list)
+    after = {p.name: p.stat().st_mtime for p in out.glob("*.npz")}
+    assert before == after  # nothing rewritten
 
 
 def test_split(corpus):

@@ -22,7 +22,6 @@ Matches the reference's math exactly (dropout off => recompute == cache);
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,11 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from transformertts_tpu.models.initializers import (
-    torch_linear_bias,
-    torch_linear_kernel,
-    xavier_uniform,
-)
+from transformertts_tpu.models.initializers import torch_linear_kernel, xavier_uniform
 
 
 def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:

@@ -16,8 +16,6 @@ FFN linears use torch nn.Linear default init; LayerNorm eps = 1e-5 (torch).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -18,8 +18,7 @@ GSPMD inserts the collectives (grad allreduce over ICI for DP).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
