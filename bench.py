@@ -61,7 +61,9 @@ def main():
     from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
     from transformertts_tpu.train import create_train_state, make_train_step
 
-    cfg = apply_overrides(Config().validate(), sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--no-scheduled-sampling"]
+    scheduled_sampling = "--no-scheduled-sampling" not in sys.argv[1:]
+    cfg = apply_overrides(Config().validate(), args)
     jax.config.update("jax_default_prng_impl", cfg.runtime.prng_impl)
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
@@ -93,7 +95,7 @@ def main():
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), tiny)
     state = shard_state(state, mesh)
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    step = make_train_step(model, cfg, scheduled_sampling=True, donate=True)
+    step = make_train_step(model, cfg, scheduled_sampling=scheduled_sampling, donate=True)
 
     audio_sec_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
     key = jax.random.PRNGKey(1)

@@ -151,3 +151,24 @@ def test_host_sharding(corpus):
     ids1 = {int(i) for idxs in l1.buckets.values() for i in idxs}
     assert ids0.isdisjoint(ids1)
     assert len(ids0 | ids1) == len(ds)
+
+
+def test_preprocess_pallas_mel_matches_numpy(corpus, tmp_path):
+    """use_pallas_mel path produces (near-)identical features."""
+    root, out_np, _ = corpus
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.data.preprocess import preprocess as pp_run
+
+    out_pl = tmp_path / "prep_pallas"
+    cfg = load_config(None, [
+        f"path.data={root}", f"path.preprocessed={out_pl}",
+        "runtime.use_pallas_mel=true",
+    ])
+    pp_run(cfg)
+    files = sorted(out_pl.glob("*.npz"))
+    assert files
+    for p in files[:3]:
+        ref = np.load(out_np / p.name)["melspec"]
+        got = np.load(p)["melspec"]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=0.05)

@@ -48,6 +48,19 @@ def _mel_for(audio_id: str, cfg: Config) -> np.ndarray:
     wav_path = Path(cfg.path.data) / "wavs" / f"{audio_id}.wav"
     y, _ = load_wav(wav_path, cfg.audio.sample_rate)
     a = cfg.audio
+    if cfg.runtime.use_pallas_mel:
+        # device path: fused Pallas STFT->mel kernel (interpret on CPU)
+        import jax
+
+        from transformertts_tpu.ops.pallas.stft import log_mel_pallas
+
+        return np.asarray(
+            log_mel_pallas(
+                jax.numpy.asarray(y), a.sample_rate, a.n_fft, a.hop_length,
+                a.win_length, a.fmin, a.fmax, a.n_mels,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
     return mel_spectrogram_np(
         y, a.sample_rate, a.n_fft, a.hop_length, a.win_length, a.fmin, a.fmax, a.n_mels
     )
