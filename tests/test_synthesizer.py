@@ -1,0 +1,29 @@
+"""High-level Synthesizer API on the trained tiny checkpoint."""
+
+import numpy as np
+
+from transformertts_tpu.config import load_config
+from transformertts_tpu.infer import Synthesizer
+
+from tests.test_data import corpus  # noqa: F401
+from tests.test_trainer import trained  # noqa: F401
+
+
+def test_synthesizer_from_checkpoint(trained):  # noqa: F811
+    cfg, exp, _, _ = trained
+    synth = Synthesizer(cfg, exp / "run1" / "checkpoints")
+    mels = synth.synthesize(["Hello world.", "A second, longer sentence here."],
+                            max_len=12)
+    assert len(mels) == 2
+    for mel in mels:
+        assert mel.shape[0] == 80
+        assert mel.shape[1] >= 1
+        assert np.isfinite(mel).all()
+
+
+def test_synthesizer_wav(trained):  # noqa: F811
+    cfg, exp, _, _ = trained
+    synth = Synthesizer(cfg, exp / "run1" / "checkpoints")
+    y = synth.synthesize_wav("Test.", max_len=12)
+    assert y.ndim == 1 and len(y) > 0
+    assert np.abs(y).max() <= 1.0

@@ -1,1 +1,2 @@
 from transformertts_tpu.infer.decode import make_decode_fn, naive_decode  # noqa: F401
+from transformertts_tpu.infer.api import Synthesizer  # noqa: F401

@@ -1,0 +1,121 @@
+"""High-level synthesis API.
+
+The reference's only inference surface is ``TransformerTTS.inference`` on a
+hand-prepared tensor (model/model.py:323).  ``Synthesizer`` packages the
+whole pipeline — g2p, bucket padding, KV-cached decode, mel denormalization,
+optional Griffin-Lim — behind one object that compiles each bucket size
+once and reuses it.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from transformertts_tpu.config import Config
+from transformertts_tpu.data.dataset import load_stats, pick_bucket
+from transformertts_tpu.dsp import denormalize_mel
+from transformertts_tpu.infer.decode import make_decode_fn
+from transformertts_tpu.models import TransformerTTS
+from transformertts_tpu.text import G2p, phonemize
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        cfg: Config,
+        checkpoint_dir: str | Path | None = None,
+        variables: Optional[dict] = None,
+        stats: Optional[dict] = None,
+    ):
+        """Provide either a checkpoint dir or ready variables."""
+        self.cfg = cfg
+        dtype = (
+            jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
+        )
+        self.model = TransformerTTS(cfg.model, dtype=dtype)
+        self.g2p = G2p()
+
+        if variables is None:
+            if checkpoint_dir is None:
+                raise ValueError("need checkpoint_dir or variables")
+            from transformertts_tpu.train.checkpoint import CheckpointManager
+            from transformertts_tpu.train.train_step import create_train_state
+
+            example = {
+                "phoneme": np.zeros((1, 1, 16), np.int32),
+                "melspec": np.zeros((1, 1, 32, cfg.model.n_mels), np.float32),
+                "phoneme_lens": np.full((1, 1), 16, np.int32),
+                "melspec_lens": np.full((1, 1), 32, np.int32),
+            }
+            state = create_train_state(self.model, cfg, jax.random.PRNGKey(0), example)
+            state, _ = CheckpointManager(checkpoint_dir).restore(state)
+            if state is None:
+                raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+        self.variables = variables
+
+        if stats is None and cfg.audio.normalize_mel:
+            try:
+                stats = load_stats(cfg.path.preprocessed)
+            except (FileNotFoundError, OSError):
+                stats = None
+        self.stats = stats
+        self._decoders: dict[int, object] = {}
+
+    def _decode_fn(self, max_len: int):
+        if max_len not in self._decoders:
+            self._decoders[max_len] = make_decode_fn(self.model, self.cfg, max_len=max_len)
+        return self._decoders[max_len]
+
+    def text_to_ids(self, text: str) -> np.ndarray:
+        _, seq = phonemize(text, self.g2p)
+        return np.asarray(seq, np.int32)
+
+    def synthesize(
+        self,
+        texts: str | list[str],
+        max_len: Optional[int] = None,
+        denormalize: bool = True,
+    ) -> list[np.ndarray]:
+        """Texts -> list of (n_mels, T) mel spectrograms (variable T)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        seqs = [self.text_to_ids(t) for t in texts]
+        bucket = pick_bucket(
+            max(len(s) for s in seqs), self.cfg.runtime.phoneme_buckets
+        ) or self.cfg.runtime.phoneme_buckets[-1]
+        b = len(seqs)
+        phoneme = np.zeros((b, bucket), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(seqs):
+            s = s[:bucket]
+            phoneme[i, : len(s)] = s
+            lens[i] = len(s)
+
+        decode = self._decode_fn(max_len or self.cfg.runtime.infer_max_len)
+        out = jax.device_get(decode(self.variables, phoneme, lens))
+        n = max(int(out["n_frames"]), 1)
+        mels = []
+        for i in range(b):
+            # per-row usable length: frames up to this row's own stop vote,
+            # bounded by the global stop step (reference keeps the global cut)
+            mel = out["post_melspec"][i, :n].T  # (n_mels, T)
+            if denormalize and self.stats is not None:
+                mel = denormalize_mel(mel, self.stats["mean"], self.stats["std"])
+            mels.append(mel.astype(np.float32))
+        return mels
+
+    def synthesize_wav(self, text: str, **kw) -> np.ndarray:
+        """Text -> waveform via Griffin-Lim."""
+        from transformertts_tpu.dsp.griffin_lim import griffin_lim
+
+        mel = self.synthesize(text, **kw)[0]
+        a = self.cfg.audio
+        return griffin_lim(
+            mel, a.sample_rate, a.n_fft, a.hop_length, a.win_length, a.fmin, a.fmax
+        )
