@@ -103,3 +103,26 @@ def test_guided_attention_in_train(setup):
     _, metrics = step(state, batch, 1.0, jax.random.PRNGKey(2))
     assert "guided_attn" in metrics
     assert float(metrics["guided_attn"]) > 0
+
+
+def test_nonfinite_step_skipped(setup):
+    """Failure guard: a NaN batch must not touch params (SURVEY §5.3)."""
+    cfg, model, batch, state = setup
+    step = make_train_step(model, cfg, scheduled_sampling=False, donate=False)
+    bad = dict(batch)
+    bad["melspec"] = batch["melspec"].copy()
+    bad["melspec"][0, 0, :8] = np.nan
+    new_state, metrics = step(state, bad, 1.0, jax.random.PRNGKey(0))
+    assert float(metrics["skipped"]) == 1.0
+    before = jax.tree.leaves(state.params)
+    after = jax.tree.leaves(new_state.params)
+    assert all(np.array_equal(a, b) for a, b in zip(before, after))
+    assert int(new_state.step) == int(state.step) + 1  # step still counts
+
+    good_state, m2 = step(state, batch, 1.0, jax.random.PRNGKey(0))
+    assert float(m2["skipped"]) == 0.0
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(good_state.params))
+    )
+    assert changed

@@ -176,13 +176,23 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         metrics = {name: jnp.mean(val) for name, val in losses.items()}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+
+        # failure detection (SURVEY.md §5.3 — absent in the reference): a
+        # non-finite loss/grad step is skipped wholesale instead of
+        # poisoning the parameters; the trainer logs/aborts on repeats.
+        ok = jnp.isfinite(grad_norm) & jnp.isfinite(metrics["total"])
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        metrics["skipped"] = (~ok).astype(jnp.float32)
 
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt_state,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_stats, state.batch_stats),
+            opt_state=keep(new_opt_state, state.opt_state),
         )
         return new_state, metrics
 

@@ -157,6 +157,16 @@ class Trainer:
                 for name, val in jax.device_get(metrics).items():
                     totals[name] = totals.get(name, 0.0) + float(val)
 
+        skipped = totals.get("skipped", 0.0)
+        if skipped:
+            self.log.warning(
+                "epoch %d: %d non-finite steps skipped (failure guard)",
+                epoch, int(skipped),
+            )
+            if skipped > 0.5 * max(n_steps, 1):
+                raise RuntimeError(
+                    f"over half of epoch {epoch}'s steps were non-finite — aborting"
+                )
         if profiling:  # epoch shorter than profile window
             jax.profiler.stop_trace()
         elapsed = time.perf_counter() - t_start
