@@ -8,9 +8,9 @@ model/layers.py:68).  Two compute paths:
   capture for alignment diagnostics / guided-attention loss — matching the
   reference decoder's ``need_weights=True, average_attn_weights=False``
   (ref: model/layers.py:60-70).
-- Pallas flash path (``ops/pallas/flash_attention.py``): blockwise fused
-  kernel for long sequences; no weight capture (use it when alignments
-  aren't needed).
+- Pallas flash path (``ops/pallas/flash_attention.py``): fused kernel
+  (forward, backward, in-kernel PRNG attention dropout); used whenever
+  alignment weights aren't requested.
 
 Also exposes the projection submodules separately so the KV-cached decoder
 (infer/decode.py) can compute K/V once and reuse them.
