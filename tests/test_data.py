@@ -172,3 +172,19 @@ def test_preprocess_pallas_mel_matches_numpy(corpus, tmp_path):
         got = np.load(p)["melspec"]
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_partial_group_rows_masked(corpus):
+    """Repeat-padded rows of a partial final group carry melspec_lens == 0."""
+    _, out, _ = corpus
+    ds = LJSpeechDataset(out, "train")  # 8 items
+    loader = BucketedLoader(
+        ds, batch_size=3, grad_acc_steps=1, phoneme_buckets=(64,),
+        mel_buckets=(512,), drop_last=False, shuffle=False,
+    )
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3  # ceil(8/3)
+    n_valid = sum(int((b["melspec_lens"][0] > 0).sum()) for b in batches)
+    assert n_valid == 8  # every real item counted exactly once
+    # at least one batch has a masked row
+    assert any(int((b["melspec_lens"][0] == 0).sum()) > 0 for b in batches)

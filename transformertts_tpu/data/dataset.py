@@ -160,36 +160,38 @@ class BucketedLoader:
             n += len(idxs) // group if self.drop_last else -(-len(idxs) // group)
         return n
 
-    def _pad_batch(self, idxs: list[int], bp: int, bm: int) -> dict:
+    def _pad_batch(self, idxs: list[int], bp: int, bm: int, n_real: int | None = None) -> dict:
+        """Load+pad one micro-batch; rows at positions >= n_real are
+        repeat-padding for a partial final group — their melspec_lens are
+        zeroed so the length-masked loss/metrics exclude them exactly."""
+        n_real = len(idxs) if n_real is None else n_real
+        batch = None
         if self._native is not None:
             try:
                 batch = self._native.load_batch(np.asarray(idxs, np.int32), bp, bm, self.n_mels)
             except RuntimeError as e:
                 log.warning("native loader failed (%s); using numpy path", e)
                 self._native = None
-            else:
-                # sort desc by phoneme length (ref: dataset.py:74-77)
-                order = np.argsort(-batch["phoneme_lens"], kind="stable")
-                return {name: arr[order] for name, arr in batch.items()}
-        b = len(idxs)
-        items = [self.ds[i] for i in idxs]
+        if batch is None:
+            b = len(idxs)
+            items = [self.ds[i] for i in idxs]
+            phoneme = np.zeros((b, bp), np.int32)
+            melspec = np.zeros((b, bm, self.n_mels), np.float32)
+            p_lens = np.zeros((b,), np.int32)
+            m_lens = np.zeros((b,), np.int32)
+            for j, it in enumerate(items):
+                seq, mel = it["sequence"], it["melspec"]
+                p_lens[j], m_lens[j] = len(seq), mel.shape[0]
+                phoneme[j, : len(seq)] = seq
+                melspec[j, : mel.shape[0]] = mel
+            batch = {
+                "phoneme": phoneme, "melspec": melspec,
+                "phoneme_lens": p_lens, "melspec_lens": m_lens,
+            }
+        batch["melspec_lens"][n_real:] = 0  # mask repeat-padded rows
         # sort desc by phoneme length (ref: dataset.py:74-77)
-        order = np.argsort([-len(it["sequence"]) for it in items], kind="stable")
-        items = [items[j] for j in order]
-
-        phoneme = np.zeros((b, bp), np.int32)
-        melspec = np.zeros((b, bm, self.n_mels), np.float32)
-        p_lens = np.zeros((b,), np.int32)
-        m_lens = np.zeros((b,), np.int32)
-        for j, it in enumerate(items):
-            seq, mel = it["sequence"], it["melspec"]
-            p_lens[j], m_lens[j] = len(seq), mel.shape[0]
-            phoneme[j, : len(seq)] = seq
-            melspec[j, : mel.shape[0]] = mel
-        return {
-            "phoneme": phoneme, "melspec": melspec,
-            "phoneme_lens": p_lens, "melspec_lens": m_lens,
-        }
+        order = np.argsort(-batch["phoneme_lens"], kind="stable")
+        return {name: arr[order] for name, arr in batch.items()}
 
     def epoch(self, epoch_num: int = 0):
         """Iterate (K, B, ...) batches; deterministic per (seed, epoch)."""
@@ -204,15 +206,19 @@ class BucketedLoader:
                 chunk = idxs[s : s + group]
                 if len(chunk) < group and self.drop_last:
                     continue
-                if len(chunk) < group:  # repeat-pad final partial group
-                    chunk = (chunk * (group // len(chunk) + 1))[:group]
-                jobs.append((key, chunk))
+                n_real = len(chunk)
+                if n_real < group:  # repeat-pad final partial group
+                    chunk = (chunk * (group // n_real + 1))[:group]
+                jobs.append((key, chunk, n_real))
         if self.shuffle:
             rng.shuffle(jobs)
 
-        for (bp, bm), chunk in jobs:
+        for (bp, bm), chunk, n_real in jobs:
             micro = [
-                self._pad_batch(chunk[m * self.batch_size : (m + 1) * self.batch_size], bp, bm)
+                self._pad_batch(
+                    chunk[m * self.batch_size : (m + 1) * self.batch_size], bp, bm,
+                    n_real=max(0, min(self.batch_size, n_real - m * self.batch_size)),
+                )
                 for m in range(self.k)
             ]
             yield {
