@@ -59,10 +59,13 @@ class LJSpeechDataset:
 
     def _load_length_index(self, base: Path, split: str, all_files) -> list[tuple[int, int]]:
         index_path = base / "length_index.json"
+        idx = None
         if index_path.exists():
             with open(index_path, encoding="utf-8") as f:
                 idx = json.load(f)
-        else:
+            if not all(p.stem in idx for p in all_files):  # stale index
+                idx = None
+        if idx is None:
             idx = {}
             for p in all_files:
                 with np.load(p, allow_pickle=True) as z:

@@ -20,6 +20,23 @@ from flax import serialization
 log = logging.getLogger("transformertts_tpu.checkpoint")
 
 
+def _to_host(tree):
+    """Fetch a (possibly sharded) pytree to host memory.
+
+    Replicated arrays are fully addressable and fetched directly; arrays
+    sharded across hosts (e.g. TP over a multi-host mesh) are gathered via
+    ``process_allgather`` so a single host can write the checkpoint."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x))
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
+
+
 class CheckpointManager:
     def __init__(self, directory: str | Path, max_to_keep: int = 3):
         self._dir = Path(directory).absolute()
@@ -31,7 +48,7 @@ class CheckpointManager:
 
     def save(self, step: int, state, epoch: int, extra: Optional[dict] = None) -> None:
         payload = {
-            "state": serialization.to_state_dict(jax.device_get(state)),
+            "state": serialization.to_state_dict(_to_host(state)),
             "meta": {"epoch": np.asarray(epoch, np.int32), **(extra or {})},
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
