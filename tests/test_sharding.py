@@ -73,3 +73,32 @@ def test_dp_matches_single_device():
     with mesh:
         _, m_dp = step(state_sh, shard_batch(batch, mesh), 1.0, jax.random.PRNGKey(1))
     assert abs(float(m_single["total"]) - float(m_dp["total"])) < 1e-4
+
+
+def test_tp_decode(corpus=None):
+    """KV-cached decode runs with TP-sharded params on a (4,2) mesh and
+    matches the replicated result."""
+    cfg = tiny_config()
+    import dataclasses
+    cfg = cfg.replace(runtime=dataclasses.replace(cfg.runtime, infer_max_len=8))
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(0)
+    phoneme = jnp.asarray(rng.integers(1, 60, (2, 16)), jnp.int32)
+    lens = jnp.array([16, 12])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, jnp.zeros((2, 32, cfg.model.n_mels)), lens, jnp.array([32, 32]),
+        train=False,
+    )
+    from transformertts_tpu.infer import make_decode_fn
+    from transformertts_tpu.parallel.mesh import state_shardings
+    decode = make_decode_fn(model, cfg, max_len=8, stop_threshold=2.0)
+    ref = decode(variables, phoneme, lens)
+
+    mesh = make_mesh(4, 2)
+    sharded_vars = jax.device_put(variables, state_shardings(variables, mesh))
+    with mesh:
+        out = decode(sharded_vars, phoneme, lens)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_melspec"]), np.asarray(ref["pred_melspec"]), atol=1e-4
+    )
