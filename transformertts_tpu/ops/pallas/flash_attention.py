@@ -46,8 +46,11 @@ def _dropout_mask(shape, dropout: float):
 
 
 def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # operands stay in their storage dtype (bf16 on the fast path) — the MXU
+    # runs full-rate bf16 with fp32 accumulation via preferred_element_type;
+    # upcasting first would force slow multi-pass fp32 matmuls
+    q = q_ref[0]
+    k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -77,9 +80,10 @@ def _fwd_kernel(
         pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)
         keep = _dropout_mask(p.shape, dropout)
         p = jnp.where(keep, p / (1.0 - dropout), 0.0)
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -141,9 +145,9 @@ def _bwd_kernel(
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=1, keepdims=True)  # pre-dropout probabilities
 
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
 
     dp_tilde = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -159,14 +163,15 @@ def _bwd_kernel(
         dp = dp_tilde
 
     dv_acc[...] += jax.lax.dot_general(
-        p_dropped, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_dropped.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (Tk, D)
 
     # delta_i = sum_k dp~_ik p~_ik = dO_i . O_i
-    delta = jnp.sum(do * o, axis=1, keepdims=True)
-    ds = p * (dp - delta) * scale
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+    q = q_ref[0]
+    k = k_ref[0]
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
