@@ -1,0 +1,58 @@
+import math
+
+import numpy as np
+from scipy.fft import dct as scipy_dct
+
+import jax.numpy as jnp
+
+from transformertts_tpu.train.metrics import (
+    _dct_matrix,
+    mel_cepstral_distortion,
+    stop_token_metrics,
+)
+
+
+def test_dct_matrix_matches_scipy():
+    n = 80
+    mat = _dct_matrix(n)
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    ref = scipy_dct(x, type=2, norm="ortho")
+    np.testing.assert_allclose(mat @ x, ref, atol=1e-4)
+
+
+def test_mcd_zero_for_identical():
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 30, 80)), jnp.float32)
+    lens = jnp.array([30, 20])
+    assert float(mel_cepstral_distortion(mel, mel, lens)) < 1e-3
+
+
+def test_mcd_positive_and_padding_invariant():
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((2, 30, 80)), jnp.float32)
+    # non-constant perturbation (a constant shift lives in the dropped c0)
+    pred = mel + jnp.asarray(rng.standard_normal((2, 30, 80)) * 0.5, jnp.float32)
+    lens = jnp.array([30, 15])
+    d1 = float(mel_cepstral_distortion(pred, mel, lens))
+    assert d1 > 0.1
+    # scribbling on padding doesn't change the metric
+    pred2 = pred.at[1, 15:].add(100.0)
+    d2 = float(mel_cepstral_distortion(pred2, mel, lens))
+    assert abs(d1 - d2) < 1e-4
+
+
+def test_stop_metrics_perfect():
+    lens = jnp.array([5, 3])
+    logits = jnp.full((2, 6), -10.0)
+    logits = logits.at[0, 4].set(10.0).at[1, 2].set(10.0)
+    m = stop_token_metrics(logits, lens)
+    assert float(m["stop_accuracy"]) == 1.0
+    assert float(m["stop_recall"]) == 1.0
+
+
+def test_stop_metrics_miss():
+    lens = jnp.array([4])
+    logits = jnp.full((1, 4), -10.0)  # never fires
+    m = stop_token_metrics(logits, lens)
+    assert float(m["stop_recall"]) == 0.0
+    assert float(m["stop_accuracy"]) == 0.75  # 3/4 correct negatives

@@ -219,10 +219,20 @@ def make_eval_step(model: TransformerTTS, cfg: Config, with_outputs: bool = Fals
         )
         mel_l1 = jnp.abs(out["post_melspec"] - batch["melspec"])
         from transformertts_tpu.models.masks import lengths_to_valid_mask
+        from transformertts_tpu.train.metrics import (
+            mel_cepstral_distortion,
+            stop_token_metrics,
+        )
 
         valid = lengths_to_valid_mask(batch["melspec_lens"], mel_l1.shape[1])[:, :, None]
         metrics["mel_l1"] = jnp.sum(jnp.where(valid, mel_l1, 0.0)) / jnp.maximum(
             jnp.sum(valid) * mel_l1.shape[-1], 1
+        )
+        metrics["mcd"] = mel_cepstral_distortion(
+            out["post_melspec"], batch["melspec"], batch["melspec_lens"]
+        )
+        metrics.update(
+            stop_token_metrics(out["pred_stop"], batch["melspec_lens"])
         )
         if with_outputs:
             return metrics, out
