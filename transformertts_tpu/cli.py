@@ -40,9 +40,12 @@ def cmd_train(args):
 
 
 def cmd_preprocess(args):
+    import logging
+
     from transformertts_tpu.config import load_config
     from transformertts_tpu.data.preprocess import preprocess
 
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
     preprocess(load_config(args.config, args.overrides))
 
 

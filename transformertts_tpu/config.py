@@ -235,6 +235,8 @@ def apply_overrides(cfg: Config, overrides: list[str] | None) -> Config:
         section, _, leaf = key.strip().partition(".")
         if section not in _SECTIONS or not leaf:
             raise ValueError(f"bad override key {key!r}")
+        if leaf not in {f.name for f in dataclasses.fields(_SECTIONS[section])}:
+            raise ValueError(f"unknown config key {section}.{leaf}")
         old_section = getattr(cfg, section)
         parsed = _parse_scalar(value)
         if isinstance(parsed, list):
