@@ -1,0 +1,83 @@
+"""Streaming chunked decode == one-shot decode, including exact postnet."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformertts_tpu.config import tiny_config
+from transformertts_tpu.infer import make_decode_fn
+from transformertts_tpu.infer.streaming import make_stream_fns, stream_decode
+from transformertts_tpu.models import TransformerTTS
+
+CFG = tiny_config()
+B, TP, MAX_LEN, CHUNK = 2, 12, 16, 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TransformerTTS(CFG.model)
+    rng = np.random.default_rng(0)
+    phoneme = jnp.asarray(rng.integers(1, 60, (B, TP)), jnp.int32)
+    lens = jnp.array([TP, TP - 3])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, jnp.zeros((B, 32, CFG.model.n_mels)), lens, jnp.array([32, 32]),
+        train=False,
+    )
+    return model, variables, phoneme, lens
+
+
+def test_stream_matches_oneshot(setup):
+    model, variables, phoneme, lens = setup
+    oneshot = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)
+    ref = jax.device_get(oneshot(variables, phoneme, lens))
+
+    chunks = list(stream_decode(model, CFG, variables, np.asarray(phoneme),
+                                np.asarray(lens), max_len=MAX_LEN, chunk=CHUNK,
+                                stop_threshold=2.0))
+    pred_all = np.concatenate([p for p, _ in chunks], axis=1)
+    post_all = np.concatenate([q for _, q in chunks], axis=1)
+    assert pred_all.shape[1] == MAX_LEN and post_all.shape[1] == MAX_LEN
+    np.testing.assert_allclose(pred_all, ref["pred_melspec"][:, :MAX_LEN], atol=2e-4)
+    # same frames modulo autoregressive drift (~2e-4), amplified by the postnet
+    np.testing.assert_allclose(post_all, ref["post_melspec"][:, :MAX_LEN], atol=2e-2)
+
+
+def test_windowed_postnet_exact(setup):
+    """post_fn on clamped windows == full-buffer postnet, given IDENTICAL frames."""
+    model, variables, phoneme, lens = setup
+    oneshot = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)
+    ref = jax.device_get(oneshot(variables, phoneme, lens))
+
+    _, _, post_fn = make_stream_fns(model, CFG, max_len=MAX_LEN, chunk=CHUNK,
+                                    stop_threshold=2.0)
+    frames = np.concatenate(
+        [np.zeros((B, 1, CFG.model.n_mels), np.float32),
+         ref["pred_melspec"][:, :MAX_LEN]], axis=1)
+    for start in range(0, MAX_LEN, CHUNK):
+        post = np.asarray(post_fn(variables, jnp.asarray(frames), jnp.int32(start)))
+        np.testing.assert_allclose(
+            post, ref["post_melspec"][:, start:start + CHUNK], atol=1e-5,
+            err_msg=f"chunk at {start}")
+
+
+def test_stream_generator_early_stop(setup):
+    model, variables, phoneme, lens = setup
+    # force stop at first frame via stop-head bias surgery
+    p = dict(variables["params"])
+    p["stop_linear"] = {"Dense_0": {**p["stop_linear"]["Dense_0"],
+                                    "bias": jnp.array([100.0])}}
+    v2 = dict(variables)
+    v2["params"] = p
+    chunks = list(stream_decode(model, CFG, v2, np.asarray(phoneme),
+                                np.asarray(lens), max_len=MAX_LEN, chunk=CHUNK))
+    total = sum(c.shape[1] for c, _ in chunks)
+    assert total == 1  # stopped immediately
+
+
+def test_chunk_divisibility_enforced(setup):
+    model, *_ = setup
+    with pytest.raises(ValueError, match="multiple of chunk"):
+        make_stream_fns(model, CFG, max_len=10, chunk=4)

@@ -8,7 +8,22 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+
+def _honor_platform_env():
+    """Respect an explicit JAX_PLATFORMS override from the caller.
+
+    Containers may pre-import jax from sitecustomize with a TPU backend
+    already registered, in which case the env var alone is read too early
+    to take effect — mirror tests/conftest.py and update the live config.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "jax" in sys.modules:
+        import jax
+
+        jax.config.update("jax_platforms", want)
 
 
 def _add_common(p):
@@ -18,8 +33,6 @@ def _add_common(p):
 
 
 def cmd_train(args):
-    import os
-
     from transformertts_tpu.config import load_config
     from transformertts_tpu.train.trainer import Trainer
     from transformertts_tpu.utils import increment_path
@@ -36,7 +49,11 @@ def cmd_train(args):
     trainer = Trainer(cfg, exp_dir, resume=not args.no_resume,
                       profile_steps=args.profile_steps)
     result = trainer.fit()
-    print(f"done: best val loss {result['best_val']:.4f} after {result['epochs']} epochs")
+    if result["epochs"] == 0:
+        print("nothing to do: training already completed (resume found "
+              f"epoch {trainer.start_epoch} >= num_epochs)")
+    else:
+        print(f"done: best val loss {result['best_val']:.4f} after {result['epochs']} epochs")
 
 
 def cmd_preprocess(args):
@@ -137,6 +154,7 @@ def main(argv=None):
     p_syn.set_defaults(fn=cmd_synthesize)
 
     args = ap.parse_args(argv)
+    _honor_platform_env()
     args.fn(args)
 
 
