@@ -21,6 +21,19 @@ def test_synthesizer_from_checkpoint(trained):  # noqa: F811
         assert np.isfinite(mel).all()
 
 
+def test_synthesizer_stream(trained):  # noqa: F811
+    cfg, exp, _, _ = trained
+    synth = Synthesizer(cfg, exp / "run1" / "checkpoints")
+    chunks = list(synth.stream("Hello world.", chunk=4, max_len=12))
+    assert chunks, "no chunks yielded"
+    mel = np.concatenate(chunks, axis=1)
+    assert mel.shape[0] == 80 and 1 <= mel.shape[1] <= 12
+    assert np.isfinite(mel).all()
+    # streamed output == one-shot synthesis over the emitted frames
+    oneshot = synth.synthesize("Hello world.", max_len=12)[0]
+    np.testing.assert_allclose(mel, oneshot[:, : mel.shape[1]], atol=2e-2)
+
+
 def test_synthesizer_wav(trained):  # noqa: F811
     cfg, exp, _, _ = trained
     synth = Synthesizer(cfg, exp / "run1" / "checkpoints")

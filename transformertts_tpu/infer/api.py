@@ -110,6 +110,43 @@ class Synthesizer:
             mels.append(mel.astype(np.float32))
         return mels
 
+    def stream(
+        self,
+        text: str,
+        chunk: int = 64,
+        max_len: Optional[int] = None,
+        denormalize: bool = True,
+    ):
+        """Text -> iterator of (n_mels, <=chunk) mel chunks as they decode.
+
+        Chunks are postnet-final (identical to the one-shot decode's output,
+        see infer/streaming.py) and arrive with a latency of at most
+        ceil(postnet_overlap/chunk) extra chunks behind the decoder.
+        """
+        from transformertts_tpu.infer.streaming import stream_decode
+
+        seq = self.text_to_ids(text)
+        bucket = pick_bucket(
+            len(seq), self.cfg.runtime.phoneme_buckets
+        ) or self.cfg.runtime.phoneme_buckets[-1]
+        phoneme = np.zeros((1, bucket), np.int32)
+        phoneme[0, : min(len(seq), bucket)] = seq[:bucket]
+        lens = np.array([min(len(seq), bucket)], np.int32)
+
+        # round capacity up to a whole number of chunks (decode still stops
+        # at the stop token; the extra tail is never generated)
+        max_len = max_len or self.cfg.runtime.infer_max_len
+        max_len = ((max_len + chunk - 1) // chunk) * chunk
+
+        for _, post in stream_decode(
+            self.model, self.cfg, self.variables, phoneme, lens,
+            max_len=max_len, chunk=chunk,
+        ):
+            mel = post[0].T  # (n_mels, <=chunk)
+            if denormalize and self.stats is not None:
+                mel = denormalize_mel(mel, self.stats["mean"], self.stats["std"])
+            yield mel.astype(np.float32)
+
     def synthesize_wav(self, text: str, **kw) -> np.ndarray:
         """Text -> waveform via Griffin-Lim."""
         from transformertts_tpu.dsp.griffin_lim import griffin_lim
