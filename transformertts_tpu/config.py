@@ -126,6 +126,9 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay float32
     use_pallas_attention: bool = True  # flash-attention Pallas kernel path
     use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
+    # fused residual+dropout+LayerNorm kernel for the transformer sublayers
+    # (ops/pallas/fused_ln.py); needs d_model to be a lane multiple (128)
+    use_pallas_fused_ln: bool = False
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.

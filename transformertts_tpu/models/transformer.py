@@ -17,10 +17,34 @@ FFN linears use torch nn.Linear default init; LayerNorm eps = 1e-5 (torch).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from transformertts_tpu.models.attention import MultiHeadAttention
 from transformertts_tpu.models.initializers import torch_linear_bias, torch_linear_kernel
+
+
+def _residual_norm(layer, norm, drop, x, h, train: bool):
+    """``norm(x + drop(h))`` — optionally as one fused Pallas pass.
+
+    The fused path (ops/pallas/fused_ln.py) reads the LayerNorm params off
+    the bound submodule so the parameter tree (and checkpoints) are
+    identical either way; init always runs the plain path to create them.
+    """
+    if layer.use_fused_ln and not layer.is_initializing():
+        from transformertts_tpu.ops.pallas.fused_ln import residual_dropout_layernorm
+
+        dropout_active = layer.dropout > 0 and train
+        return residual_dropout_layernorm(
+            x,
+            h,
+            norm.variables["params"]["scale"],
+            norm.variables["params"]["bias"],
+            dropout=layer.dropout if dropout_active else 0.0,
+            dropout_rng=layer.make_rng("dropout") if dropout_active else None,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return norm(x + drop(h, deterministic=not train))
 
 
 class FeedForward(nn.Module):
@@ -60,6 +84,7 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused_ln: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
@@ -73,9 +98,9 @@ class EncoderLayer(nn.Module):
 
     def __call__(self, x, key_bias=None, train: bool = False):
         sa, _ = self.self_attn(x, x, None, train, key_bias=key_bias)
-        x = self.norm1(x + self.drop1(sa, deterministic=not train))
+        x = _residual_norm(self, self.norm1, self.drop1, x, sa, train)
         ff = self.ffn(x, train)
-        x = self.norm2(x + self.drop2(ff, deterministic=not train))
+        x = _residual_norm(self, self.norm2, self.drop2, x, ff, train)
         return x
 
 
@@ -87,13 +112,14 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias=None, train: bool = False):
         for i in range(self.n_layers):
             x = EncoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, name=f"layer_{i}",
             )(x, key_bias, train)
         return x
 
@@ -105,6 +131,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused_ln: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
@@ -131,14 +158,14 @@ class DecoderLayer(nn.Module):
         return_alignments: bool = True,
     ):
         sa, _ = self.self_attn(x, x, None, train, key_bias=tgt_key_bias, causal=True)
-        x = self.norm1(x + self.drop1(sa, deterministic=not train))
+        x = _residual_norm(self, self.norm1, self.drop1, x, sa, train)
         ca, align = self.cross_attn(
             x, memory, None, train, return_weights=return_alignments,
             key_bias=mem_key_bias,
         )
-        x = self.norm2(x + self.drop2(ca, deterministic=not train))
+        x = _residual_norm(self, self.norm2, self.drop2, x, ca, train)
         ff = self.ffn(x, train)
-        x = self.norm3(x + self.drop3(ff, deterministic=not train))
+        x = _residual_norm(self, self.norm3, self.drop3, x, ff, train)
         return x, align
 
     # --- KV-cached single/multi-step path (infer/decode.py) ---
@@ -167,12 +194,13 @@ class Decoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused_ln: bool = False
 
     def setup(self):
         self.layers = [
             DecoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, name=f"layer_{i}",
             )
             for i in range(self.n_layers)
         ]

@@ -50,6 +50,7 @@ class Trainer:
             cfg.model,
             dtype=jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32,
             use_flash=cfg.runtime.use_pallas_attention,
+            use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
         )
 
         r = cfg.runtime
