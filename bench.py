@@ -69,8 +69,11 @@ def main():
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
     dtype = jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
-    model = TransformerTTS(cfg.model, dtype=dtype,
-                           use_flash=cfg.runtime.use_pallas_attention)
+    model = TransformerTTS(
+        cfg.model, dtype=dtype,
+        use_flash=cfg.runtime.use_pallas_attention,
+        use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
+    )
 
     k, b = cfg.training.grad_acc_steps, cfg.training.batch_size
     rng = np.random.default_rng(0)

@@ -73,6 +73,11 @@ class ModelConfig:
     n_phon: int = 100
     n_mels: int = 80
     max_len: int = 5000  # positional-encoding table size (ref: model/model.py:76)
+    # Frames emitted per decoder step ("reduction factor", Tacotron/paper
+    # trick; reference is r=1).  r>1 runs the decoder on T/r positions:
+    # ~r x fewer decode steps and a shorter self-attention — an opt-in
+    # speed/quality trade-off.  Mel lengths/buckets must be multiples of r.
+    reduction_factor: int = 1
 
     def validate(self) -> None:
         for side, heads in (("encoder", self.encoder_n_head), ("decoder", self.decoder_n_head)):
@@ -83,6 +88,8 @@ class ModelConfig:
         for name in ("encoder_prenet_kernel_size", "postnet_kernel_size"):
             if getattr(self, name) % 2 != 1:
                 raise ValueError(f"{name} must be odd for same-padding")
+        if self.reduction_factor < 1:
+            raise ValueError("reduction_factor must be >= 1")
 
 
 @dataclass(frozen=True)
@@ -171,6 +178,15 @@ class Config:
         self.runtime.validate()
         if self.model.n_mels != self.audio.n_mels:
             raise ValueError("model.n_mels must equal audio.n_mels")
+        r = self.model.reduction_factor
+        if any(b % r for b in self.runtime.mel_buckets):
+            raise ValueError(
+                f"all runtime.mel_buckets must be multiples of reduction_factor {r}"
+            )
+        if self.runtime.infer_max_len % r:
+            raise ValueError(
+                f"runtime.infer_max_len must be a multiple of reduction_factor {r}"
+            )
         return self
 
     def to_dict(self) -> dict[str, Any]:

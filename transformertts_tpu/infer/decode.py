@@ -16,8 +16,14 @@ each step (ref: model/model.py:354-374).  Here the whole decode is one jitted
   mask at inference (model/model.py:345-348) is kept (flag);
 - postnet applied once at the end over the full buffer (model/model.py:388).
 
-Matches the reference's math exactly (dropout off => recompute == cache);
-``tests/test_decode.py`` checks cached == naive-recompute equivalence.
+With ``model.reduction_factor == r > 1`` each decoder position emits ``r``
+frames (heads sized r*n_mels / r); the loop runs max_len/r steps and feeds
+back the LAST frame of the previous group — ~r x fewer decoder invocations
+plus an r x shorter self-attention axis.
+
+Matches the reference's math exactly at r=1 (dropout off => recompute ==
+cache); ``tests/test_decode.py`` checks cached == naive-recompute
+equivalence for both r cases.
 """
 
 from __future__ import annotations
@@ -29,12 +35,12 @@ import jax.numpy as jnp
 
 from transformertts_tpu.config import Config
 from transformertts_tpu.models.masks import NEG_INF, padding_bias
-from transformertts_tpu.models.tts import TransformerTTS
+from transformertts_tpu.models.tts import TransformerTTS, shift_right
 
 
-def _self_bias_at(t: jnp.ndarray, max_len: int) -> jnp.ndarray:
-    """(1, 1, 1, max_len) bias: cache positions > t are invalid."""
-    return jnp.where(jnp.arange(max_len)[None, None, None, :] <= t, 0.0, NEG_INF)
+def _self_bias_at(t: jnp.ndarray, n_pos: int) -> jnp.ndarray:
+    """(1, 1, 1, n_pos) bias: cache positions > t are invalid."""
+    return jnp.where(jnp.arange(n_pos)[None, None, None, :] <= t, 0.0, NEG_INF)
 
 
 def make_decode_fn(
@@ -57,6 +63,10 @@ def make_decode_fn(
     n_heads = cfg.model.decoder_n_head
     d_head = cfg.model.d_model // n_heads
     n_mels = cfg.model.n_mels
+    r = cfg.model.reduction_factor
+    if max_len % r:
+        raise ValueError(f"max_len ({max_len}) must be a multiple of reduction_factor ({r})")
+    n_pos = max_len // r  # decoder positions
 
     def decode(variables, phoneme: jnp.ndarray, phoneme_lens: jnp.ndarray):
         b = phoneme.shape[0]
@@ -71,23 +81,24 @@ def make_decode_fn(
 
         dtype = memory.dtype
         init = {
-            "t": jnp.zeros((), jnp.int32),
+            "t": jnp.zeros((), jnp.int32),  # decoder position (group) counter
             "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
             "stops": jnp.full((b, max_len), NEG_INF, jnp.float32),
             "stopped": jnp.zeros((b,), bool),
-            "self_k": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
-            "self_v": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
+            "self_k": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
+            "self_v": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
         }
 
         def cond(s):
-            return (s["t"] < max_len) & ~jnp.all(s["stopped"])
+            return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
 
         def body(s):
             t = s["t"]
-            frame = jax.lax.dynamic_slice_in_dim(s["frames"], t, 1, axis=1)
+            # input: go frame at t=0, else last frame of the previous group
+            frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)
             x = bound.prenet_step(frame, t)  # (B, 1, D)
 
-            self_bias = _self_bias_at(t, max_len)
+            self_bias = _self_bias_at(t, n_pos)
             self_k, self_v = s["self_k"], s["self_v"]
             for li, layer in enumerate(bound.decoder.layers):
                 k_new, v_new = layer.project_self_kv(x)  # (B,1,H,Dh)
@@ -102,14 +113,16 @@ def make_decode_fn(
                     x, self_k[li], self_v[li], ck, cv, self_bias, cross_bias
                 )
 
-            mel_t, stop_t = bound.decode_frame_heads(x)  # (B,1,C), (B,1)
+            mel_t, stop_t = bound.decode_frame_heads(x)  # (B,r,C), (B,r)
             frames = jax.lax.dynamic_update_slice(
-                s["frames"], mel_t.astype(jnp.float32), (0, t + 1, 0)
+                s["frames"], mel_t.astype(jnp.float32), (0, t * r + 1, 0)
             )
             stops = jax.lax.dynamic_update_slice(
-                s["stops"], stop_t.astype(jnp.float32), (0, t)
+                s["stops"], stop_t.astype(jnp.float32), (0, t * r)
             )
-            stopped = s["stopped"] | (jax.nn.sigmoid(stop_t[:, 0]) >= stop_threshold)
+            stopped = s["stopped"] | jnp.any(
+                jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
+            )
             return {
                 "t": t + 1,
                 "frames": frames,
@@ -120,7 +133,7 @@ def make_decode_fn(
             }
 
         final = jax.lax.while_loop(cond, body, init)
-        n_frames = final["t"]
+        n_frames = final["t"] * r
         pred = final["frames"][:, 1:, :]  # drop go frame
         # zero garbage-free: positions >= n_frames are already zeros
         post = bound.apply_postnet(pred).astype(jnp.float32)
@@ -143,30 +156,32 @@ def naive_decode(
     stop_threshold: float = 0.5,
 ):
     """Cacheless re-compute decode mirroring the reference's inference loop
-    (model/model.py:354-374).  Slow (recompiles per length) — used as the
-    equivalence oracle in tests."""
+    (model/model.py:354-374), generalized to reduction_factor.  Slow
+    (recompiles per length) — used as the equivalence oracle in tests."""
     bound = model.bind(variables)
     memory = bound.encode(phoneme, None, train=False)
     b = phoneme.shape[0]
-    frames = [jnp.zeros((b, 1, model.cfg.n_mels), jnp.float32)]
+    r = model.cfg.reduction_factor
+    assert max_len % r == 0
+    mel = jnp.zeros((b, 0, model.cfg.n_mels), jnp.float32)  # emitted frames
     stops = []
-    for t in range(1, max_len + 1):
-        tgt_in = jnp.concatenate(frames, axis=1)  # (B, t, C)
-        # full decoder over the whole prefix, causal + memory padding masks
+    for g in range(1, max_len // r + 1):
+        # full decoder over the emitted prefix; shift_right-grouped inputs
+        pad = jnp.zeros((b, g * r - mel.shape[1], model.cfg.n_mels), jnp.float32)
+        tgt_in = shift_right(jnp.concatenate([mel, pad], axis=1), r)
         tgt_out, _ = bound.decode(
             memory, tgt_in, phoneme_lens,
-            jnp.full((b,), t, jnp.int32), train=False, return_alignments=False,
+            jnp.full((b,), g * r, jnp.int32), train=False, return_alignments=False,
         )
-        mel_t, stop_t = bound.decode_frame_heads(tgt_out[:, -1:, :])
-        frames.append(mel_t.astype(jnp.float32))
-        stops.append(stop_t.astype(jnp.float32))
-        if bool(jnp.all(jax.nn.sigmoid(stop_t[:, 0]) >= stop_threshold)):
+        mel_g, stop_g = bound.decode_frame_heads(tgt_out[:, -1:, :])  # (B,r,C),(B,r)
+        mel = jnp.concatenate([mel, mel_g.astype(jnp.float32)], axis=1)
+        stops.append(stop_g.astype(jnp.float32))
+        if bool(jnp.all(jnp.any(jax.nn.sigmoid(stop_g) >= stop_threshold, axis=1))):
             break
-    pred = jnp.concatenate(frames[1:], axis=1)
-    post = bound.apply_postnet(pred).astype(jnp.float32)
+    post = bound.apply_postnet(mel).astype(jnp.float32)
     return {
-        "pred_melspec": pred,
+        "pred_melspec": mel,
         "post_melspec": post,
         "pred_stop": jnp.concatenate(stops, axis=1),
-        "n_frames": pred.shape[1],
+        "n_frames": mel.shape[1],
     }

@@ -73,6 +73,11 @@ def make_stream_fns(
     d_head = cfg.model.d_model // n_heads
     n_mels = cfg.model.n_mels
     overlap = postnet_overlap(cfg)
+    r = cfg.model.reduction_factor
+    if chunk % r:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of reduction_factor ({r})")
+    n_pos = max_len // r  # decoder positions
+    chunk_pos = chunk // r
 
     def init(variables, phoneme: jnp.ndarray, phoneme_lens: jnp.ndarray):
         b = phoneme.shape[0]
@@ -81,11 +86,11 @@ def make_stream_fns(
         cross = bound.build_cross_cache(memory)
         dtype = memory.dtype
         return {
-            "t": jnp.zeros((), jnp.int32),
+            "t": jnp.zeros((), jnp.int32),  # decoder position (group) counter
             "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
             "stopped": jnp.zeros((b,), bool),
-            "self_k": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
-            "self_v": jnp.zeros((n_layers, b, max_len, n_heads, d_head), dtype),
+            "self_k": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
+            "self_v": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
             "cross_k": jnp.stack([k for k, _ in cross]),
             "cross_v": jnp.stack([v for _, v in cross]),
             "cross_bias": padding_bias(phoneme_lens, phoneme.shape[1]),
@@ -96,13 +101,13 @@ def make_stream_fns(
         start_t = carry["t"]
 
         def cond(s):
-            return (s["t"] < jnp.minimum(start_t + chunk, max_len)) & ~jnp.all(s["stopped"])
+            return (s["t"] < jnp.minimum(start_t + chunk_pos, n_pos)) & ~jnp.all(s["stopped"])
 
         def body(s):
             t = s["t"]
-            frame = jax.lax.dynamic_slice_in_dim(s["frames"], t, 1, axis=1)
+            frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)
             x = bound.prenet_step(frame, t)
-            self_bias = _self_bias_at(t, max_len)
+            self_bias = _self_bias_at(t, n_pos)
             self_k, self_v = s["self_k"], s["self_v"]
             for li, layer in enumerate(bound.decoder.layers):
                 k_new, v_new = layer.project_self_kv(x)
@@ -116,17 +121,21 @@ def make_stream_fns(
                     x, self_k[li], self_v[li], carry["cross_k"][li],
                     carry["cross_v"][li], self_bias, carry["cross_bias"],
                 )
-            mel_t, stop_t = bound.decode_frame_heads(x)
+            mel_t, stop_t = bound.decode_frame_heads(x)  # (B,r,C), (B,r)
             frames = jax.lax.dynamic_update_slice(
-                s["frames"], mel_t.astype(jnp.float32), (0, t + 1, 0)
+                s["frames"], mel_t.astype(jnp.float32), (0, t * r + 1, 0)
             )
-            stopped = s["stopped"] | (jax.nn.sigmoid(stop_t[:, 0]) >= stop_threshold)
+            stopped = s["stopped"] | jnp.any(
+                jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
+            )
             return {**s, "t": t + 1, "frames": frames, "stopped": stopped,
                     "self_k": self_k, "self_v": self_v}
 
         carry = jax.lax.while_loop(cond, body, carry)
-        n_new = carry["t"] - start_t
-        pred = jax.lax.dynamic_slice_in_dim(carry["frames"], start_t + 1, chunk, axis=1)
+        n_new = (carry["t"] - start_t) * r  # frames emitted this chunk
+        pred = jax.lax.dynamic_slice_in_dim(
+            carry["frames"], start_t * r + 1, chunk, axis=1
+        )
         return carry, pred, n_new
 
     # static window length; clamped so the window never leaves [0, max_len]

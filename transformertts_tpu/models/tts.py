@@ -27,10 +27,20 @@ from transformertts_tpu.models.modules import (
 from transformertts_tpu.models.transformer import Decoder, Encoder
 
 
-def shift_right(mel: jnp.ndarray) -> jnp.ndarray:
-    """Prepend zero go-frame, drop last frame (ref: model/model.py:278-279)."""
+def shift_right(mel: jnp.ndarray, r: int = 1) -> jnp.ndarray:
+    """Decoder inputs: zero go-frame then the last frame of each previous
+    group of ``r`` frames (ref r=1 case: model/model.py:278-279).
+
+    Output has T/r positions; for r=1 this is the classic shift-right.
+    """
     go = jnp.zeros_like(mel[:, :1, :])
-    return jnp.concatenate([go, mel[:, :-1, :]], axis=1)
+    prev_last = mel[:, r - 1 :: r, :][:, :-1, :]  # frames r-1, 2r-1, ... (drop last)
+    return jnp.concatenate([go, prev_last], axis=1)
+
+
+def group_lens(mel_lens: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Frame lengths -> decoder-position lengths (ceil divide)."""
+    return (mel_lens + r - 1) // r if r > 1 else mel_lens
 
 
 class TransformerTTS(nn.Module):
@@ -67,8 +77,11 @@ class TransformerTTS(nn.Module):
             c.postnet_n_layers, c.n_mels, c.d_model, c.postnet_kernel_size,
             c.postnet_dropout, self.dtype,
         )
-        self.mel_linear = LinearNorm(c.n_mels, dtype=self.dtype)  # ref linear1
-        self.stop_linear = LinearNorm(1, dtype=self.dtype)  # ref linear2
+        # heads emit reduction_factor frames / stop logits per decoder
+        # position (r=1 == reference linear1/linear2 exactly)
+        r = c.reduction_factor
+        self.mel_linear = LinearNorm(c.n_mels * r, dtype=self.dtype)  # ref linear1
+        self.stop_linear = LinearNorm(r, dtype=self.dtype)  # ref linear2
 
     def encode(
         self,
@@ -93,9 +106,10 @@ class TransformerTTS(nn.Module):
         train: bool = False,
         return_alignments: bool = True,
     ):
-        t_mel = tgt_in.shape[1]
+        t_pos = tgt_in.shape[1]  # decoder positions (frames / reduction_factor)
         tgt_key_bias = (
-            key_padding_bias(mel_lens, t_mel) if mel_lens is not None else None
+            key_padding_bias(group_lens(mel_lens, self.cfg.reduction_factor), t_pos)
+            if mel_lens is not None else None
         )
         mem_key_bias = (
             key_padding_bias(phoneme_lens, memory.shape[1])
@@ -120,13 +134,18 @@ class TransformerTTS(nn.Module):
         gradient-free scheduled-sampling pass, which only needs
         ``pred_melspec`` — lightning_module.py:53-59 computes it anyway).
         """
-        tgt_in = shift_right(melspec)
+        r = self.cfg.reduction_factor
+        b, t_mel = melspec.shape[0], melspec.shape[1]
+        if t_mel % r:
+            raise ValueError(f"mel length {t_mel} not a multiple of reduction_factor {r}")
+        tgt_in = shift_right(melspec, r)
         memory = self.encode(phoneme, phoneme_lens, train)
         tgt_out, alignments = self.decode(
             memory, tgt_in, phoneme_lens, melspec_lens, train, return_alignments
         )
-        pred_melspec = self.mel_linear(tgt_out)
-        pred_stop = self.stop_linear(tgt_out)[..., 0]
+        # (B, T/r, r*C) -> (B, T, C); (B, T/r, r) -> (B, T)
+        pred_melspec = self.mel_linear(tgt_out).reshape(b, t_mel, self.cfg.n_mels)
+        pred_stop = self.stop_linear(tgt_out).reshape(b, t_mel)
         out = {
             "pred_melspec": pred_melspec.astype(jnp.float32),
             "pred_stop": pred_stop.astype(jnp.float32),
@@ -141,7 +160,8 @@ class TransformerTTS(nn.Module):
     # --- hooks used by infer/decode.py through nn.apply(method=...) ---
 
     def prenet_step(self, frame: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
-        """Decoder prenet + positional encoding for one frame at `step`."""
+        """Decoder prenet + positional encoding for one input frame at
+        decoder position `step` (group index when reduction_factor > 1)."""
         x = self.dec_prenet(frame.astype(self.dtype), False)
         return self.pe(x, False, offset=step)
 
@@ -149,8 +169,16 @@ class TransformerTTS(nn.Module):
         return [layer.project_cross_kv(memory) for layer in self.decoder.layers]
 
     def decode_frame_heads(self, x: jnp.ndarray):
-        """Final projections for one decoded hidden frame."""
-        return self.mel_linear(x), self.stop_linear(x)[..., 0]
+        """Final projections for one decoded hidden position.
+
+        Returns mel frames (B, r, n_mels) and stop logits (B, r) — the
+        reduction_factor frames this position emits (r=1: one frame).
+        """
+        b = x.shape[0]
+        r = self.cfg.reduction_factor
+        mel = self.mel_linear(x).reshape(b, r, self.cfg.n_mels)
+        stop = self.stop_linear(x).reshape(b, r)
+        return mel, stop
 
     def apply_postnet(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.postnet(mel, False) + mel
