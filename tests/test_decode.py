@@ -84,3 +84,27 @@ def test_decode_is_jitted_once(setup):
         np.abs(np.asarray(out1["pred_melspec"]) - np.asarray(out2["pred_melspec"])).max()
         > 1e-6
     )
+
+
+def test_per_row_lengths():
+    from transformertts_tpu.infer.decode import per_row_lengths
+    from transformertts_tpu.models.masks import NEG_INF
+
+    # 3 rows, global cut at 6 frames: row0 votes at frame 2, row1 never
+    # votes, row2 votes at frame 0
+    stops = np.full((3, 8), NEG_INF, np.float32)
+    stops[:, :6] = -5.0  # decoded frames, below threshold
+    stops[0, 2] = 5.0
+    stops[2, 0] = 5.0
+    out = per_row_lengths(jnp.asarray(stops), jnp.int32(6), 0.5)
+    np.testing.assert_array_equal(np.asarray(out), [3, 6, 1])
+
+
+def test_decode_reports_per_row_lengths(setup):
+    model, variables, phoneme, lens = setup
+    decode = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)
+    out = decode(variables, phoneme, lens)
+    # threshold 2.0: nobody votes -> every row gets the global cut
+    np.testing.assert_array_equal(
+        np.asarray(out["n_frames_per_row"]), [MAX_LEN, MAX_LEN]
+    )

@@ -99,11 +99,12 @@ class Synthesizer:
 
         decode = self._decode_fn(max_len or self.cfg.runtime.infer_max_len)
         out = jax.device_get(decode(self.variables, phoneme, lens))
-        n = max(int(out["n_frames"]), 1)
         mels = []
         for i in range(b):
             # per-row usable length: frames up to this row's own stop vote,
-            # bounded by the global stop step (reference keeps the global cut)
+            # bounded by the global stop step (the reference's only cut) —
+            # trims the trailing babble short utterances pick up in a batch
+            n = max(int(out["n_frames_per_row"][i]), 1)
             mel = out["post_melspec"][i, :n].T  # (n_mels, T)
             if denormalize and self.stats is not None:
                 mel = denormalize_mel(mel, self.stats["mean"], self.stats["std"])

@@ -43,6 +43,22 @@ def _self_bias_at(t: jnp.ndarray, n_pos: int) -> jnp.ndarray:
     return jnp.where(jnp.arange(n_pos)[None, None, None, :] <= t, 0.0, NEG_INF)
 
 
+def per_row_lengths(
+    stops: jnp.ndarray,  # (B, max_len) stop logits, NEG_INF at non-decoded frames
+    n_frames: jnp.ndarray,  # () global frame count (the reference's cut)
+    stop_threshold: float,
+) -> jnp.ndarray:
+    """Per-utterance usable lengths: frames up to & including each row's own
+    first stop vote, bounded by the global stop step.  (The reference only
+    has the global cut — decode stops when ALL rows vote, model/model.py:382
+    — so short utterances in a batch carry trailing babble; this recovers
+    the per-row boundary.)"""
+    voted = jax.nn.sigmoid(stops) >= stop_threshold
+    first = jnp.argmax(voted, axis=1)  # 0 if no vote
+    has_vote = jnp.any(voted, axis=1)
+    return jnp.where(has_vote, first + 1, n_frames).astype(jnp.int32)
+
+
 def make_decode_fn(
     model: TransformerTTS,
     cfg: Config,
@@ -142,6 +158,9 @@ def make_decode_fn(
             "post_melspec": post,
             "pred_stop": final["stops"],
             "n_frames": n_frames,
+            "n_frames_per_row": per_row_lengths(
+                final["stops"], n_frames, stop_threshold
+            ),
         }
 
     return jax.jit(decode)
