@@ -109,43 +109,3 @@ def test_single_query_and_ragged_block():
     out = flash_attention(q, k, v, None, causal=False, interpret=True)
     ref, _ = dot_product_attention(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-
-@pytest.mark.parametrize("tq,tk,causal", [(64, 64, True), (128, 48, False)])
-def test_forward_parity_bthd_layout(tq, tk, causal):
-    """No-transpose (B,T,H*D)-sliced grid layout == XLA reference."""
-    rng = np.random.default_rng(5)
-    q, k, v = make_qkv(rng, tq, tk)
-    lens = jnp.array([tk, tk - 7])
-    kb = key_bias_from_lens(lens, tk)
-
-    bias = padding_bias(lens, tk)
-    if causal:
-        bias = bias + causal_bias(tq)
-    ref, _ = dot_product_attention(q, k, v, bias)
-    out = flash_attention(q, k, v, kb, causal=causal, interpret=True,
-                          layout="bthd")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-
-def test_gradient_parity_bthd_layout():
-    rng = np.random.default_rng(6)
-    tq = tk = 64
-    q, k, v = make_qkv(rng, tq, tk)
-    lens = jnp.array([tk, tk - 5])
-    kb = key_bias_from_lens(lens, tk)
-    bias = padding_bias(lens, tk) + causal_bias(tq)
-
-    def loss_ref(q, k, v):
-        out, _ = dot_product_attention(q, k, v, bias)
-        return jnp.sum(out**2)
-
-    def loss_flash(q, k, v):
-        out = flash_attention(q, k, v, kb, causal=True, interpret=True,
-                              layout="bthd")
-        return jnp.sum(out**2)
-
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    for a, b, name in zip(g_ref, g_fl, "qkv"):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, err_msg=name)

@@ -139,8 +139,6 @@ class MultiHeadAttention(nn.Module):
             and q.shape[1] >= 8
         )
         if flash_ok:
-            import os
-
             from transformertts_tpu.ops.pallas.flash_attention import flash_attention
 
             out = flash_attention(
@@ -148,8 +146,6 @@ class MultiHeadAttention(nn.Module):
                 dropout=self.dropout if dropout_active else 0.0,
                 dropout_rng=rng,
                 interpret=jax.default_backend() != "tpu",
-                # experimental no-transpose kernel layout (see PERF.md)
-                layout=os.environ.get("TTS_FLASH_LAYOUT", "bhtd"),
             )
             return self.out_proj(merge_heads(out)), None
 

@@ -65,24 +65,11 @@ def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
 # ------------------------------------------------------------------ forward
 
 
-def _ids(heads):
-    """(bh, qi) program coordinates for both grid layouts.
-
-    heads=None: 2-D grid (b*h, qi) over pre-transposed (B,H,T,D) operands.
-    heads=H: 3-D grid (b, h, qi) over untransposed (B,T,H*D) operands —
-    the head slice comes from the BlockSpec index map, so the layout
-    transpose never materializes (the DMA gathers it during the pipeline).
-    """
-    if heads is None:
-        return pl.program_id(0), pl.program_id(1)
-    return pl.program_id(0) * heads + pl.program_id(1), pl.program_id(2)
-
-
 def _fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-    *, scale, causal, block_q, dropout, heads=None,
+    *, scale, causal, block_q, dropout,
 ):
-    bh, qi = _ids(heads)
+    bh, qi = pl.program_id(0), pl.program_id(1)
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
 
     m = jnp.max(s, axis=1, keepdims=True)
@@ -101,9 +88,7 @@ def _fwd_kernel(
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret, layout):
-    if layout == "bthd":
-        return _fwd_bthd(q, k, v, bias, seed, scale, causal, dropout, interpret)
+def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     block_q = _pick_block(tq)
@@ -135,42 +120,6 @@ def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret, layout):
     return out.reshape(b, h, tq, d)
 
 
-def _fwd_bthd(q, k, v, bias, seed, scale, causal, dropout, interpret):
-    """Forward over UNtransposed (B, T, H, D) operands: grid (b, h, qi) with
-    the head slice taken by the BlockSpec index map out of the contiguous
-    (B, T, H*D) array — no (B,T,H,D)->(B,H,T,D) layout copy."""
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
-    block_q = _pick_block(tq)
-
-    q3 = q.reshape(b, tq, h * d)
-    k3 = k.reshape(b, tk, h * d)
-    v3 = v.reshape(b, tk, h * d)
-    bias3 = bias[:, None, :]  # (B, 1, Tk)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h, tq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, *_: (bi, qi, hi)),
-            pl.BlockSpec((1, tk, d), lambda bi, hi, qi, *_: (bi, 0, hi)),
-            pl.BlockSpec((1, tk, d), lambda bi, hi, qi, *_: (bi, 0, hi)),
-            pl.BlockSpec((1, 1, tk), lambda bi, hi, qi, *_: (bi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, *_: (bi, qi, hi)),
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-            dropout=dropout, heads=h,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, tq, h * d), q.dtype),
-        interpret=interpret,
-    )(seed, q3, k3, v3, bias3)
-    return out.reshape(b, tq, h, d)
-
-
 # ----------------------------------------------------------------- backward
 
 
@@ -178,10 +127,10 @@ def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, causal, block_q, dropout, heads=None,
+    *, scale, causal, block_q, dropout,
 ):
-    bh, qi = _ids(heads)
-    n_q = pl.num_programs(1 if heads is None else 2)
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    n_q = pl.num_programs(1)
 
     @pl.when(qi == 0)
     def _init():
@@ -236,11 +185,9 @@ def _bwd_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd(scale, causal, dropout, interpret, layout, res, g):
+def _bwd(scale, causal, dropout, interpret, res, g):
     q, k, v, bias, seed, out = res
     do = g
-    if layout == "bthd":
-        return _bwd_bthd(q, k, v, bias, seed, out, do, scale, causal, dropout, interpret)
     b, h, tq, d = q.shape
     tk = k.shape[2]
     block_q = _pick_block(tq)
@@ -294,66 +241,16 @@ def _bwd(scale, causal, dropout, interpret, layout, res, g):
     )
 
 
-def _bwd_bthd(q, k, v, bias, seed, out, do, scale, causal, dropout, interpret):
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
-    block_q = _pick_block(tq)
-
-    q3 = q.reshape(b, tq, h * d)
-    k3 = k.reshape(b, tk, h * d)
-    v3 = v.reshape(b, tk, h * d)
-    o3 = out.reshape(b, tq, h * d)
-    do3 = do.reshape(b, tq, h * d)
-    bias3 = bias[:, None, :]
-
-    qspec = pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, *_: (bi, qi, hi))
-    kspec = pl.BlockSpec((1, tk, d), lambda bi, hi, qi, *_: (bi, 0, hi))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h, tq // block_q),
-        in_specs=[
-            qspec, kspec, kspec,
-            pl.BlockSpec((1, 1, tk), lambda bi, hi, qi, *_: (bi, 0, 0)),
-            qspec, qspec,
-        ],
-        out_specs=[qspec, kspec, kspec],
-        scratch_shapes=[
-            pltpu.VMEM((tk, d), jnp.float32),
-            pltpu.VMEM((tk, d), jnp.float32),
-        ],
-    )
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, scale=scale, causal=causal, block_q=block_q,
-            dropout=dropout, heads=h,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, tq, h * d), q.dtype),
-            jax.ShapeDtypeStruct((b, tk, h * d), k.dtype),
-            jax.ShapeDtypeStruct((b, tk, h * d), v.dtype),
-        ],
-        interpret=interpret,
-    )(seed, q3, k3, v3, bias3, o3, do3)
-    return (
-        dq.reshape(b, tq, h, d),
-        dk.reshape(b, tk, h, d),
-        dv.reshape(b, tk, h, d),
-        None,
-        None,
-    )
-
-
 # -------------------------------------------------------------------- public
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash(q, k, v, bias, seed, scale, causal, dropout, interpret, layout):
-    return _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret, layout)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, bias, seed, scale, causal, dropout, interpret):
+    return _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
 
 
-def _flash_fwd(q, k, v, bias, seed, scale, causal, dropout, interpret, layout):
-    out = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret, layout)
+def _flash_fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
+    out = _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret)
     return out, (q, k, v, bias, seed, out)
 
 
@@ -369,16 +266,8 @@ def flash_attention(
     dropout: float = 0.0,
     dropout_rng: jax.Array | None = None,
     interpret: bool = False,
-    layout: str = "bhtd",
 ) -> jnp.ndarray:
-    """Fused attention; differentiable; returns (B, Tq, H, D).
-
-    layout="bhtd" (default): operands are physically transposed to
-    (B, H, T, D) around the kernel (XLA copies, ~4 ms/step at batch 16).
-    layout="bthd": the kernel grids (b, h, q-block) and slices each head
-    out of the contiguous (B, T, H*D) arrays via the BlockSpec index map —
-    no transpose; the DMA pipeline does the gather.
-    """
+    """Fused attention; differentiable; returns (B, Tq, H, D)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if key_bias is None:
@@ -390,14 +279,11 @@ def flash_attention(
     else:
         seed = jnp.zeros((1,), jnp.int32)
     scale = d ** -0.5
-    kb = key_bias.astype(jnp.float32)
-    if layout == "bthd":
-        return _flash(q, k, v, kb, seed, scale, causal, float(dropout),
-                      interpret, layout)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = _flash(
-        qt, kt, vt, kb, seed, scale, causal, float(dropout), interpret, layout,
+        qt, kt, vt, key_bias.astype(jnp.float32), seed, scale, causal,
+        float(dropout), interpret,
     )
     return out.transpose(0, 2, 1, 3)
