@@ -137,6 +137,9 @@ class MultiHeadAttention(nn.Module):
             and not return_weights
             and bias is None
             and q.shape[1] >= 8
+            # off-TPU the kernel runs in interpret mode, which has no
+            # in-kernel PRNG rule — fall back when dropout would be needed
+            and (jax.default_backend() == "tpu" or not dropout_active)
         )
         if flash_ok:
             from transformertts_tpu.ops.pallas.flash_attention import flash_attention

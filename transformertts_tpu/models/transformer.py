@@ -31,10 +31,14 @@ def _residual_norm(layer, norm, drop, x, h, train: bool):
     the bound submodule so the parameter tree (and checkpoints) are
     identical either way; init always runs the plain path to create them.
     """
-    if layer.use_fused_ln and not layer.is_initializing():
+    dropout_active = layer.dropout > 0 and train
+    on_tpu = jax.default_backend() == "tpu"
+    # off-TPU the kernel runs in interpret mode, which has no in-kernel PRNG
+    # rule — fall back to the plain path whenever dropout would be needed
+    fused_ok = layer.use_fused_ln and (on_tpu or not dropout_active)
+    if fused_ok and not layer.is_initializing():
         from transformertts_tpu.ops.pallas.fused_ln import residual_dropout_layernorm
 
-        dropout_active = layer.dropout > 0 and train
         return residual_dropout_layernorm(
             x,
             h,
@@ -42,7 +46,7 @@ def _residual_norm(layer, norm, drop, x, h, train: bool):
             norm.variables["params"]["bias"],
             dropout=layer.dropout if dropout_active else 0.0,
             dropout_rng=layer.make_rng("dropout") if dropout_active else None,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu,
         )
     return norm(x + drop(h, deterministic=not train))
 
