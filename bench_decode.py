@@ -70,6 +70,46 @@ def main():
         }
         print(name, results[name], file=sys.stderr)
 
+    # streaming: time-to-first-chunk + steady chunk cadence (single stream)
+    import jax.numpy as jnp
+
+    from transformertts_tpu.infer.streaming import make_stream_fns, postnet_overlap
+
+    chunk, max_len = 64, 512
+    init, chunk_fn, post_fn = make_stream_fns(model, cfg, max_len=max_len,
+                                              chunk=chunk, stop_threshold=2.0)
+    phoneme = np.asarray(rng.integers(1, 80, (1, 128)), np.int32)
+    lens = np.full((1,), 128, np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme[:, :16], np.zeros((1, 32, cfg.model.n_mels), np.float32),
+        np.full((1,), 16, np.int32), np.full((1,), 32, np.int32), train=False,
+    )
+    # compile
+    carry = init(variables, phoneme, lens)
+    carry, pred, n_new = chunk_fn(variables, carry)
+    _ = np.asarray(post_fn(variables, carry["frames"], jnp.int32(0)))
+    reps, ttfc, total = 3, [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        carry = init(variables, phoneme, lens)
+        carry, pred, n_new = chunk_fn(variables, carry)
+        first = np.asarray(pred)  # host readback = audio-ready pre-postnet
+        ttfc.append(time.perf_counter() - t0)
+        for _ in range(max_len // chunk - 1):
+            carry, pred, n_new = chunk_fn(variables, carry)
+        int(jax.device_get(n_new))
+        total.append(time.perf_counter() - t0)
+    results["streaming_single"] = {
+        "chunk": chunk,
+        "max_len": max_len,
+        "time_to_first_chunk_ms": min(ttfc) * 1000,
+        "first_chunk_audio_ms": chunk * audio_sec_per_frame * 1000,
+        "full_utterance_s": min(total),
+        "postnet_lag_frames": postnet_overlap(cfg),
+    }
+    print("streaming_single", results["streaming_single"], file=sys.stderr)
+
     with open("bench_decode.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
