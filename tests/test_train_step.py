@@ -126,3 +126,24 @@ def test_nonfinite_step_skipped(setup):
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(good_state.params))
     )
     assert changed
+
+
+def test_fused_optimizer_equivalent(setup):
+    """optax.flatten'd chain == per-leaf chain modulo reduction order.
+
+    (The global-norm clip sums squares in a different association, so the
+    trajectories agree to float tolerance, not bitwise.)"""
+    cfg, model, batch, _ = setup
+
+    def run(fused):
+        c = cfg.replace(runtime=dataclasses.replace(cfg.runtime, fused_optimizer=fused))
+        state = create_train_state(model, c, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, c, scheduled_sampling=False, donate=False)
+        for _ in range(3):
+            state, _ = step(state, batch, 1.0, jax.random.PRNGKey(7))
+        return state.params
+
+    p_flat = run(True)
+    p_tree = run(False)
+    for a, b in zip(jax.tree.leaves(p_tree), jax.tree.leaves(p_flat)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)

@@ -137,6 +137,11 @@ class RuntimeConfig:
     # (ops/pallas/fused_ln.py); auto-disabled unless d_model % 128 == 0.
     # measured: 9556 -> 10272 audio-s/s on one v5e (same-session windows)
     use_pallas_fused_ln: bool = True
+    # run the optimizer update over one raveled vector (optax.flatten):
+    # equivalent math (modulo clip-reduction order), far fewer kernels;
+    # auto-disabled with TP.  NOTE: changes opt_state structure —
+    # checkpoints don't carry across a flip of this flag.
+    fused_optimizer: bool = True
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.

@@ -46,13 +46,22 @@ def make_optimizer(cfg: Config):
     from transformertts_tpu.train.schedules import noam_schedule
 
     t = cfg.training
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(t.max_grad_norm),
         optax.add_decayed_weights(t.weight_decay),  # torch Adam weight_decay
         optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
         optax.scale_by_schedule(noam_schedule(cfg.model.d_model, t.warmup_steps)),
         optax.scale(-1.0),
     )
+    if cfg.runtime.fused_optimizer and cfg.runtime.mesh_model == 1:
+        # every transform above is elementwise or a global scalar, so running
+        # the update over ONE raveled vector is equivalent (modulo summation
+        # order inside the global-norm clip) — but replaces ~100 tiny
+        # per-leaf kernels with a handful of long ones.  Disabled under
+        # tensor parallelism: a flat vector cannot carry per-param shardings
+        # (moments would gather over the model axis).
+        opt = optax.flatten(opt)
+    return opt
 
 
 def create_train_state(
