@@ -139,9 +139,11 @@ class RuntimeConfig:
     use_pallas_fused_ln: bool = True
     # run the optimizer update over one raveled vector (optax.flatten):
     # equivalent math (modulo clip-reduction order), far fewer kernels;
-    # auto-disabled with TP.  NOTE: changes opt_state structure —
-    # checkpoints don't carry across a flip of this flag.
-    fused_optimizer: bool = True
+    # auto-disabled with TP.  Measured NO throughput change at the 8M-param
+    # parity config (10,197 vs 10,272 audio-s/s — XLA already fuses the
+    # per-leaf updates), so off by default; may help at much larger scale.
+    # NOTE: changes opt_state structure — checkpoints don't carry across.
+    fused_optimizer: bool = False
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.
