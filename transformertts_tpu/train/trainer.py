@@ -182,7 +182,7 @@ class Trainer:
 
     # ------------------------------------------------------------------- val
 
-    def validate(self, epoch: int) -> float:
+    def validate(self, epoch: int) -> tuple[float, dict]:
         totals, n = {}, 0
         first = True
         with self.mesh:
@@ -202,7 +202,7 @@ class Trainer:
             avg.get("diagonality", float("nan")),
         )
         self._free_running_plot(epoch)
-        return avg.get("total", float("inf"))
+        return avg.get("total", float("inf")), avg
 
     def _plot_validation(self, epoch: int, batch: dict, out: dict):
         e = self.exp_dir
@@ -274,8 +274,11 @@ class Trainer:
             train_metrics = self.train_epoch(
                 epoch, self.profile_steps if epoch == self.start_epoch else 0
             )
-            val_loss = self.validate(epoch)
-            history.append({"epoch": epoch, **train_metrics, "val_loss": val_loss})
+            val_loss, val_metrics = self.validate(epoch)
+            history.append({
+                "epoch": epoch, **train_metrics, "val_loss": val_loss,
+                **{f"val_{k}": v for k, v in val_metrics.items() if k != "total"},
+            })
 
             if jax.process_index() == 0:
                 self.ckpt.save(int(jax.device_get(self.state.step)), self.state, epoch + 1)
