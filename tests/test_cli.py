@@ -53,3 +53,33 @@ def test_preprocess_cli(corpus):  # noqa: F811
         "--set", f"path.data={root}",
         "--set", f"path.preprocessed={out_dir}",
     ])
+
+
+def test_serve_streams_lines(trained, tmp_path):  # noqa: F811
+    cfg, exp, _, _ = trained
+    src = tmp_path / "lines.txt"
+    src.write_text("Hello there.\n\nSecond line here.\n")  # blank line skipped
+    out_dir = tmp_path / "served"
+    cli.main([
+        "serve",
+        "--set", f"path.data={cfg.path.data}",
+        "--set", f"path.preprocessed={cfg.path.preprocessed}",
+        "--set", "model.d_model=64",
+        "--set", "model.encoder_n_layers=1", "--set", "model.decoder_n_layers=1",
+        "--set", "model.encoder_d_ffn=128", "--set", "model.decoder_d_ffn=128",
+        "--set", "model.postnet_n_layers=2",
+        "--set", "runtime.compute_dtype=float32",
+        "--set", "runtime.use_pallas_attention=false",
+        "--set", "runtime.phoneme_buckets=[32]",
+        "--set", "runtime.infer_max_len=16",
+        "--ckpt", str(exp / "run1" / "checkpoints"),
+        "--input", str(src),
+        "--out-dir", str(out_dir),
+        "--chunk", "8",
+    ])
+    mels = sorted(out_dir.glob("utt_*.npy"))
+    assert len(mels) == 2
+    for p in mels:
+        mel = np.load(p)
+        assert mel.shape[0] == 80 and mel.shape[1] >= 1
+        assert np.isfinite(mel).all()

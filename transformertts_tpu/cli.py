@@ -126,6 +126,52 @@ def cmd_synthesize(args):
         print(f"wrote {len(y) / a.sample_rate:.2f}s of audio to {args.wav}")
 
 
+def cmd_serve(args):
+    """Interactive/piped serving loop: one line of text in -> mel (and
+    optionally wav) out, decoded incrementally via the streaming API."""
+    import numpy as np
+
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.infer import Synthesizer
+
+    cfg = load_config(args.config, args.overrides)
+    synth = Synthesizer(cfg, args.ckpt)
+    out_dir = args.out_dir
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    src = open(args.input) if args.input else sys.stdin
+    try:
+        for line in src:
+            text = line.strip()
+            if not text:
+                continue
+            chunks = []
+            for chunk in synth.stream(text, chunk=args.chunk):
+                chunks.append(chunk)
+                print(f"\r[{n}] {sum(c.shape[1] for c in chunks)} frames", end="",
+                      file=sys.stderr)
+            print(file=sys.stderr)
+            mel = np.concatenate(chunks, axis=1) if chunks else np.zeros((cfg.model.n_mels, 0))
+            path = f"{out_dir}/utt_{n:04d}"
+            np.save(path + ".npy", mel)
+            if args.wav:
+                from transformertts_tpu.dsp.griffin_lim import griffin_lim, write_wav
+
+                a = cfg.audio
+                y = griffin_lim(mel, a.sample_rate, a.n_fft, a.hop_length,
+                                a.win_length, a.fmin, a.fmax)
+                write_wav(path + ".wav", y, a.sample_rate)
+            print(f"[{n}] {mel.shape[1]} frames -> {path}.npy"
+                  + (" + .wav" if args.wav else ""))
+            n += 1
+    finally:
+        if args.input:
+            src.close()
+    print(f"served {n} utterances")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="transformertts_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -152,6 +198,17 @@ def main(argv=None):
     p_syn.add_argument("--wav", default=None,
                        help="also write audio via Griffin-Lim inversion")
     p_syn.set_defaults(fn=cmd_synthesize)
+
+    p_srv = sub.add_parser("serve", help="stream-synthesize each stdin line")
+    _add_common(p_srv)
+    p_srv.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p_srv.add_argument("--out-dir", default="served")
+    p_srv.add_argument("--chunk", type=int, default=64)
+    p_srv.add_argument("--wav", action="store_true",
+                       help="also write Griffin-Lim audio per utterance")
+    p_srv.add_argument("--input", default=None,
+                       help="read lines from a file instead of stdin")
+    p_srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     _honor_platform_env()
