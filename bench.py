@@ -60,6 +60,7 @@ def main():
     from transformertts_tpu.models import TransformerTTS
     from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
     from transformertts_tpu.train import create_train_state, make_train_step
+    from transformertts_tpu.train.trainer import _fused_ffn_ok
 
     args = [a for a in sys.argv[1:] if a != "--no-scheduled-sampling"]
     scheduled_sampling = "--no-scheduled-sampling" not in sys.argv[1:]
@@ -73,6 +74,7 @@ def main():
         cfg.model, dtype=dtype,
         use_flash=cfg.runtime.use_pallas_attention,
         use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
+        use_fused_ffn=_fused_ffn_ok(cfg),
     )
 
     k, b = cfg.training.grad_acc_steps, cfg.training.batch_size

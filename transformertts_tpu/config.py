@@ -137,6 +137,13 @@ class RuntimeConfig:
     # (ops/pallas/fused_ln.py); auto-disabled unless d_model % 128 == 0.
     # measured: 9556 -> 10272 audio-s/s on one v5e (same-session windows)
     use_pallas_fused_ln: bool = True
+    # fused linear->relu->dropout->linear FFN kernel (ops/pallas/fused_ffn.py);
+    # the (B, T, d_ffn) intermediate stays in VMEM.  Off by default: measured
+    # throughput-NEUTRAL at the parity config (9324 vs 9383 audio-s/s, within
+    # tunnel noise — the FFN is a minor term next to attention + convs there).
+    # Opt-in for experiments; auto-disabled unless d_model % 128 == 0,
+    # d_ffn % 128 == 0, and the backward fits scoped VMEM (fused_ffn_fits).
+    use_pallas_fused_ffn: bool = False
     # run the optimizer update over one raveled vector (optax.flatten):
     # equivalent math (modulo clip-reduction order), far fewer kernels;
     # auto-disabled with TP.  Measured NO throughput change at the 8M-param

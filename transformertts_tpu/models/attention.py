@@ -137,8 +137,8 @@ class MultiHeadAttention(nn.Module):
             and not return_weights
             and bias is None
             and q.shape[1] >= 8
-            # off-TPU the kernel runs in interpret mode, which has no
-            # in-kernel PRNG rule — fall back when dropout would be needed
+            # off-TPU the kernel runs in interpret mode (correct but slow) —
+            # keep CPU training on the XLA path when dropout is active
             and (jax.default_backend() == "tpu" or not dropout_active)
         )
         if flash_ok:

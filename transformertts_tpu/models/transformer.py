@@ -33,8 +33,8 @@ def _residual_norm(layer, norm, drop, x, h, train: bool):
     """
     dropout_active = layer.dropout > 0 and train
     on_tpu = jax.default_backend() == "tpu"
-    # off-TPU the kernel runs in interpret mode, which has no in-kernel PRNG
-    # rule — fall back to the plain path whenever dropout would be needed
+    # off-TPU the kernel runs in interpret mode (correct but slow) — keep
+    # CPU training on the plain path whenever dropout would be needed
     fused_ok = layer.use_fused_ln and (on_tpu or not dropout_active)
     if fused_ok and not layer.is_initializing():
         from transformertts_tpu.ops.pallas.fused_ln import residual_dropout_layernorm
@@ -56,9 +56,28 @@ class FeedForward(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False  # fused Pallas FFN (runtime.use_pallas_fused_ffn)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dropout_active = self.dropout > 0 and train
+        on_tpu = jax.default_backend() == "tpu"
+        # same gating as _residual_norm: init runs the plain path to create
+        # the (identically named) Dense_0/Dense_1 params; off-TPU interpret
+        # mode is correct but slow, so fall back when dropout is active
+        fused_ok = self.use_fused and (on_tpu or not dropout_active)
+        if fused_ok and not self.is_initializing():
+            from transformertts_tpu.ops.pallas.fused_ffn import fused_ffn
+
+            p = self.variables["params"]
+            return fused_ffn(
+                x,
+                p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+                p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                dropout=self.dropout if dropout_active else 0.0,
+                dropout_rng=self.make_rng("dropout") if dropout_active else None,
+                interpret=not on_tpu,
+            )
         h = nn.Dense(
             self.d_ffn,
             kernel_init=torch_linear_kernel(),
@@ -89,12 +108,13 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused_ln: bool = False
+    use_fused_ffn: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
             self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
         )
-        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
+        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype, self.use_fused_ffn)
         self.norm1 = _layer_norm(self.dtype, "norm1")
         self.norm2 = _layer_norm(self.dtype, "norm2")
         self.drop1 = nn.Dropout(self.dropout)
@@ -117,13 +137,14 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused_ln: bool = False
+    use_fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias=None, train: bool = False):
         for i in range(self.n_layers):
             x = EncoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, self.use_fused_ln, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, self.use_fused_ffn, name=f"layer_{i}",
             )(x, key_bias, train)
         return x
 
@@ -136,6 +157,7 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused_ln: bool = False
+    use_fused_ffn: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
@@ -144,7 +166,7 @@ class DecoderLayer(nn.Module):
         self.cross_attn = MultiHeadAttention(
             self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
         )
-        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype)
+        self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype, self.use_fused_ffn)
         self.norm1 = _layer_norm(self.dtype, "norm1")
         self.norm2 = _layer_norm(self.dtype, "norm2")
         self.norm3 = _layer_norm(self.dtype, "norm3")
@@ -199,12 +221,13 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused_ln: bool = False
+    use_fused_ffn: bool = False
 
     def setup(self):
         self.layers = [
             DecoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, self.use_fused_ln, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, self.use_fused_ffn, name=f"layer_{i}",
             )
             for i in range(self.n_layers)
         ]

@@ -12,7 +12,8 @@ short (mel <= ~900 frames, phonemes <= ~180), so keys/values for one
   twice per layer per direction — the HBM-bandwidth win);
 - saves per-row log-sum-exp for the backward pass;
 - backward recomputes probabilities blockwise (regenerating the identical
-  dropout mask from the same per-(bh, q-block) PRNG seed) and accumulates
+  dropout mask via the layout-independent counter-hash keyed by
+  (seed, bh, q-block) — ops/pallas/dropout_mask.py) and accumulates
   dK/dV in VMEM scratch across q-blocks, emitting dQ per block.
 
 Masking: optional causal flag (self-attention) + additive key bias (B, Tk)
@@ -28,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from transformertts_tpu.ops.pallas.dropout_mask import keep_mask
+
 NEG_INF = -1e9
 
 
@@ -36,13 +39,6 @@ def _pick_block(t: int) -> int:
         if t % cand == 0:
             return cand
     return t
-
-
-def _dropout_mask(shape, dropout: float):
-    """Regenerable keep-mask from the already-seeded per-block PRNG."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(int(dropout * 4294967296.0))
-    return bits >= threshold
 
 
 def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
@@ -77,8 +73,7 @@ def _fwd_kernel(
     l = jnp.sum(e, axis=1, keepdims=True)
     p = e / l
     if dropout > 0.0:
-        pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)
-        keep = _dropout_mask(p.shape, dropout)
+        keep = keep_mask(p.shape, dropout, seed_ref[0], bh * 8192 + qi)
         p = jnp.where(keep, p / (1.0 - dropout), 0.0)
     v = v_ref[0]
     o = jax.lax.dot_general(
@@ -153,8 +148,8 @@ def _bwd_kernel(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, Tk) = dL/d(p_dropped)
     if dropout > 0.0:
-        pltpu.prng_seed(seed_ref[0], bh * 8192 + qi)  # identical mask to forward
-        keep = _dropout_mask(p.shape, dropout)
+        # identical mask to forward: pure function of (seed, bh, qi, index)
+        keep = keep_mask(p.shape, dropout, seed_ref[0], bh * 8192 + qi)
         inv = 1.0 / (1.0 - dropout)
         p_dropped = jnp.where(keep, p * inv, 0.0)
         dp = jnp.where(keep, dp_tilde * inv, 0.0)

@@ -9,10 +9,11 @@ This kernel does the whole chain in one VMEM pass:
 - forward: z = x + keep * h / (1-p)  ->  per-row mean/var (fp32)  ->
   y = (z - mu) * rsqrt(var + eps) * gamma + beta, cast back to storage dtype;
 - backward: recomputes z and the row statistics (cheap VPU work, avoids
-  saving fp32 residuals to HBM), regenerates the identical dropout mask from
-  the same per-block PRNG seed, emits dx, dh per block and accumulates
-  dgamma/dbeta in VMEM scratch across row-blocks (grid steps run
-  sequentially on a TensorCore, so the accumulation is race-free).
+  saving fp32 residuals to HBM), regenerates the identical dropout mask
+  via the layout-independent counter-hash (ops/pallas/dropout_mask.py),
+  emits dx, dh per block and accumulates dgamma/dbeta in VMEM scratch
+  across row-blocks (grid steps run sequentially on a TensorCore, so the
+  accumulation is race-free).
 
 Rows = flattened (B*T); the feature dim D maps to lanes (multiples of 128
 lower best; any D works in interpret mode).  LayerNorm statistics use the
@@ -28,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from transformertts_tpu.ops.pallas.dropout_mask import keep_mask
+
 
 def _pick_rows(n: int) -> int:
     for cand in (512, 256, 128, 64, 32, 16, 8):
@@ -36,18 +39,11 @@ def _pick_rows(n: int) -> int:
     return n
 
 
-def _keep_mask(shape, dropout: float):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(int(dropout * 4294967296.0))
-    return bits >= threshold
-
-
 def _z_and_stats(x_ref, h_ref, seed_ref, dropout, eps, block_id):
     x = x_ref[...].astype(jnp.float32)
     h = h_ref[...].astype(jnp.float32)
     if dropout > 0.0:
-        pltpu.prng_seed(seed_ref[0], block_id)
-        keep = _keep_mask(h.shape, dropout)
+        keep = keep_mask(h.shape, dropout, seed_ref[0], block_id)
         h = jnp.where(keep, h / (1.0 - dropout), 0.0)
     else:
         keep = None
