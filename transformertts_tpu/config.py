@@ -137,6 +137,11 @@ class RuntimeConfig:
     # (ops/pallas/fused_ln.py); auto-disabled unless d_model % 128 == 0.
     # measured: 9556 -> 10272 audio-s/s on one v5e (same-session windows)
     use_pallas_fused_ln: bool = True
+    # run each attention's in-projections as ONE matmul (q|k|v fused for
+    # self-attention, k|v for cross) by concatenating kernels at apply time;
+    # param tree/numerics unchanged, dispatch count drops (the d=256 step is
+    # latency-bound, PERF.md)
+    fuse_qkv_projections: bool = True
     # fused linear->relu->dropout->linear FFN kernel (ops/pallas/fused_ffn.py);
     # the (B, T, d_ffn) intermediate stays in VMEM.  Off by default: measured
     # throughput-NEUTRAL at the parity config (9324 vs 9383 audio-s/s, within

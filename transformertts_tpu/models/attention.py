@@ -84,6 +84,12 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # run the in-projections as ONE matmul (q|k|v for self-attention, k|v
+    # for cross) by concatenating the kernels at apply time: the param tree
+    # and numerics are unchanged (each output column is computed
+    # independently), but the dispatch count drops — the d=256 step is
+    # latency-bound (PERF.md), so fewer, wider matmuls win
+    fuse_qkv: bool = False
 
     def setup(self):
         dense = lambda name: nn.Dense(  # noqa: E731
@@ -112,6 +118,21 @@ class MultiHeadAttention(nn.Module):
         v = split_heads(self.v_proj(kv), self.n_heads)
         return k, v
 
+    def _fused_in_proj(self, x: jnp.ndarray, names: tuple[str, ...]):
+        """One matmul over the column-concatenated projection kernels.
+
+        Equivalent to applying each nn.Dense separately (same promotion
+        rules: params and input cast to ``self.dtype``); each output
+        column only sees its own kernel column, so results match the
+        unfused path.  Params stay under their original submodule names —
+        checkpoints and init are untouched.
+        """
+        p = self.variables["params"]
+        w = jnp.concatenate([p[n]["kernel"] for n in names], axis=1)
+        b = jnp.concatenate([p[n]["bias"] for n in names], axis=0)
+        y = x.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
+        return jnp.split(y, len(names), axis=-1)
+
     def attend(
         self,
         q_in: jnp.ndarray,
@@ -129,6 +150,12 @@ class MultiHeadAttention(nn.Module):
         or as structured ``key_bias``+``causal`` (eligible for flash).
         """
         q = split_heads(self.q_proj(q_in), self.n_heads)
+        return self._attend_heads(q, k, v, bias, train, return_weights, key_bias, causal)
+
+    def _attend_heads(
+        self, q, k, v, bias=None, train=False, return_weights=False,
+        key_bias=None, causal=False,
+    ):
         dropout_active = self.dropout > 0 and train
         rng = self.make_rng("dropout") if dropout_active else None
 
@@ -175,5 +202,16 @@ class MultiHeadAttention(nn.Module):
         key_bias: Optional[jnp.ndarray] = None,
         causal: bool = False,
     ):
+        # init must run the real submodules so their params get created
+        if self.fuse_qkv and not self.is_initializing():
+            if q_in is kv_in:  # self-attention: q|k|v in one matmul
+                q, k, v = self._fused_in_proj(q_in, ("q_proj", "k_proj", "v_proj"))
+            else:  # cross-attention: k|v fused, q separate
+                q = self.q_proj(q_in)
+                k, v = self._fused_in_proj(kv_in, ("k_proj", "v_proj"))
+            q, k, v = (split_heads(t, self.n_heads) for t in (q, k, v))
+            return self._attend_heads(
+                q, k, v, bias, train, return_weights, key_bias, causal
+            )
         k, v = self.project_kv(kv_in)
         return self.attend(q_in, k, v, bias, train, return_weights, key_bias, causal)

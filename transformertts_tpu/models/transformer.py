@@ -109,10 +109,12 @@ class EncoderLayer(nn.Module):
     use_flash: bool = False
     use_fused_ln: bool = False
     use_fused_ffn: bool = False
+    fuse_qkv: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash,
+            self.fuse_qkv,
         )
         self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype, self.use_fused_ffn)
         self.norm1 = _layer_norm(self.dtype, "norm1")
@@ -138,13 +140,15 @@ class Encoder(nn.Module):
     use_flash: bool = False
     use_fused_ln: bool = False
     use_fused_ffn: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, key_bias=None, train: bool = False):
         for i in range(self.n_layers):
             x = EncoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, self.use_fused_ln, self.use_fused_ffn, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, self.use_fused_ffn,
+                self.fuse_qkv, name=f"layer_{i}",
             )(x, key_bias, train)
         return x
 
@@ -158,13 +162,16 @@ class DecoderLayer(nn.Module):
     use_flash: bool = False
     use_fused_ln: bool = False
     use_fused_ffn: bool = False
+    fuse_qkv: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash,
+            self.fuse_qkv,
         )
         self.cross_attn = MultiHeadAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.use_flash,
+            self.fuse_qkv,
         )
         self.ffn = FeedForward(self.d_model, self.d_ffn, self.dropout, self.dtype, self.use_fused_ffn)
         self.norm1 = _layer_norm(self.dtype, "norm1")
@@ -222,12 +229,14 @@ class Decoder(nn.Module):
     use_flash: bool = False
     use_fused_ln: bool = False
     use_fused_ffn: bool = False
+    fuse_qkv: bool = False
 
     def setup(self):
         self.layers = [
             DecoderLayer(
                 self.d_model, self.n_heads, self.d_ffn, self.dropout, self.dtype,
-                self.use_flash, self.use_fused_ln, self.use_fused_ffn, name=f"layer_{i}",
+                self.use_flash, self.use_fused_ln, self.use_fused_ffn,
+                self.fuse_qkv, name=f"layer_{i}",
             )
             for i in range(self.n_layers)
         ]

@@ -49,6 +49,7 @@ class TransformerTTS(nn.Module):
     use_flash: bool = False  # fused Pallas attention (runtime.use_pallas_attention)
     use_fused_ln: bool = False  # fused residual+dropout+LN (runtime.use_pallas_fused_ln)
     use_fused_ffn: bool = False  # fused Pallas FFN (runtime.use_pallas_fused_ffn)
+    fuse_qkv: bool = False  # one-matmul in-projections (runtime.fuse_qkv_projections)
 
     def setup(self):
         c = self.cfg
@@ -69,12 +70,12 @@ class TransformerTTS(nn.Module):
         self.encoder = Encoder(
             c.encoder_n_layers, c.d_model, c.encoder_n_head, c.encoder_d_ffn,
             c.encoder_dropout, self.dtype, self.use_flash, self.use_fused_ln,
-            self.use_fused_ffn,
+            self.use_fused_ffn, self.fuse_qkv,
         )
         self.decoder = Decoder(
             c.decoder_n_layers, c.d_model, c.decoder_n_head, c.decoder_d_ffn,
             c.decoder_dropout, self.dtype, self.use_flash, self.use_fused_ln,
-            self.use_fused_ffn,
+            self.use_fused_ffn, self.fuse_qkv,
         )
         self.postnet = PostNet(
             c.postnet_n_layers, c.n_mels, c.d_model, c.postnet_kernel_size,

@@ -69,6 +69,7 @@ class Trainer:
             use_flash=cfg.runtime.use_pallas_attention,
             use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
             use_fused_ffn=_fused_ffn_ok(cfg),
+            fuse_qkv=cfg.runtime.fuse_qkv_projections,
         )
 
         r = cfg.runtime
