@@ -58,9 +58,9 @@ def main():
 
     from transformertts_tpu.config import Config, apply_overrides
     from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.models.factory import runtime_model_kwargs
     from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
     from transformertts_tpu.train import create_train_state, make_train_step
-    from transformertts_tpu.train.trainer import _fused_ffn_ok
 
     args = [a for a in sys.argv[1:] if a != "--no-scheduled-sampling"]
     scheduled_sampling = "--no-scheduled-sampling" not in sys.argv[1:]
@@ -69,14 +69,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
-    dtype = jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32
-    model = TransformerTTS(
-        cfg.model, dtype=dtype,
-        use_flash=cfg.runtime.use_pallas_attention,
-        use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
-        use_fused_ffn=_fused_ffn_ok(cfg),
-        fuse_qkv=cfg.runtime.fuse_qkv_projections,
-    )
+    model = TransformerTTS(cfg.model, **runtime_model_kwargs(cfg))
 
     k, b = cfg.training.grad_acc_steps, cfg.training.batch_size
     rng = np.random.default_rng(0)

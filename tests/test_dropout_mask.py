@@ -119,11 +119,12 @@ def test_flash_fwd_bwd_mask_agreement():
     key = jax.random.PRNGKey(5)
     v_dir = jnp.asarray(rng.standard_normal((b, tk, h, d)), jnp.float32)
 
-    # out = Dropout(P) @ V is linear in V for fixed mask (P ignores V)
+    # out = Dropout(P) @ V is linear in V for fixed mask (P ignores V),
+    # so a large eps is exact and keeps the fd numerator well-conditioned
     _dirderiv_check(
         lambda t: flash_attention(q, k, t, dropout=0.5, dropout_rng=key,
                                   interpret=True),
-        val, v_dir,
+        val, v_dir, eps=1.0,
     )
 
 

@@ -43,13 +43,35 @@ def keep_mask(shape, dropout: float, seed, salt):
     seed: traced int32 scalar — the per-call RNG seed.
     salt: traced int32 scalar — distinguishes grid blocks (so every block
         of one call draws distinct bits); pass the flattened block index.
+
+    seed and salt are mixed through the finalizer BEFORE combining with
+    the element counter: were they only added to the counter, two
+    (seed, salt) pairs would index shifted windows of one global
+    bit-stream and could share bitwise-identical mask regions wherever
+    the windows overlap; XORing a fully-avalanched base into the counter
+    makes the per-pair streams independent.
     """
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = r * jnp.uint32(shape[1]) + c
-    x = x + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-    x = x + salt.astype(jnp.uint32) * jnp.uint32(0xBF58476D)
-    x = _fmix(x)
+    counter = r * jnp.uint32(shape[1]) + c
+    base = _fmix(
+        seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        ^ _fmix(salt.astype(jnp.uint32) * jnp.uint32(0xBF58476D))
+    )
+    x = _fmix(counter ^ base)
     x = _fmix(x ^ jnp.uint32(0x94D049BB))
     threshold = jnp.uint32(int(dropout * 4294967296.0))
     return x >= threshold
+
+
+def seed_from_rng(dropout: float, dropout_rng):
+    """Derive the (1,) int32 scalar-prefetch seed for a kernel call.
+
+    One home for the derivation shared by flash_attention / fused_ln /
+    fused_ffn; raises when dropout is requested without an rng.
+    """
+    if dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout > 0 requires dropout_rng")
+        return jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
+    return jnp.zeros((1,), jnp.int32)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transformertts_tpu.ops.pallas.dropout_mask import keep_mask
+from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 
 NEG_INF = -1e9
 
@@ -267,12 +267,7 @@ def flash_attention(
     tk = k.shape[1]
     if key_bias is None:
         key_bias = jnp.zeros((b, tk), jnp.float32)
-    if dropout > 0.0:
-        if dropout_rng is None:
-            raise ValueError("dropout > 0 requires dropout_rng")
-        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
-    else:
-        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed_from_rng(dropout, dropout_rng)
     scale = d ** -0.5
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)

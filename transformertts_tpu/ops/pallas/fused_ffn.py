@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transformertts_tpu.ops.pallas.dropout_mask import keep_mask
+from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 
 
 # scoped VMEM is 16 MB; leave headroom for Mosaic's own staging
@@ -56,17 +56,25 @@ def fused_ffn_fits(d: int, f: int, itemsize: int = 2) -> bool:
 
 
 def _pick_rows(n: int, d: int, f: int, itemsize: int) -> int:
-    # largest row block (cap 256) that divides n AND fits the backward's
-    # VMEM footprint
-    for cand in (256, 128, 64, 32, 16, 8):
-        if n % cand == 0 and _bwd_vmem(cand, d, f, itemsize) <= _VMEM_BUDGET:
-            return cand
-    if _bwd_vmem(n, d, f, itemsize) > _VMEM_BUDGET:
+    """Largest row block (cap 256) fitting the backward's VMEM footprint.
+
+    Prefers a divisor of n (no padding); otherwise the caller zero-pads n
+    up to a multiple — padded rows contribute exactly zero to every
+    gradient because their dy rows are zero.  Raises only when even an
+    8-row block cannot fit (callers gate on fused_ffn_fits())."""
+    fitting = [
+        c for c in (256, 128, 64, 32, 16, 8)
+        if _bwd_vmem(c, d, f, itemsize) <= _VMEM_BUDGET
+    ]
+    if not fitting:
         raise ValueError(
             f"fused_ffn does not fit VMEM for d_model={d}, d_ffn={f} "
             f"(gate callers on fused_ffn_fits())"
         )
-    return n
+    for cand in fitting:
+        if n % cand == 0:
+            return cand
+    return fitting[0]
 
 
 def _hidden(x_ref, w1_ref, b1_ref, seed_ref, dropout, block_id):
@@ -156,10 +164,14 @@ def _fwd(x, w1, b1, w2, b2, seed, dropout, interpret):
     f = w1.shape[-1]
     n = x.size // d
     rows = _pick_rows(n, d, f, x.dtype.itemsize)
+    x2 = x.reshape(n, d)
+    n_pad = -n % rows
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
     cdtype = x.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // rows,),
+        grid=((n + n_pad) // rows,),
         in_specs=[
             pl.BlockSpec((rows, d), lambda i, *_: (i, 0)),
             pl.BlockSpec((d, f), lambda i, *_: (0, 0)),
@@ -172,26 +184,34 @@ def _fwd(x, w1, b1, w2, b2, seed, dropout, interpret):
     y = pl.pallas_call(
         functools.partial(_fwd_kernel, dropout=dropout),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, d), x.dtype),
         interpret=interpret,
     )(
-        seed, x.reshape(n, d), w1.astype(cdtype), b1.reshape(1, f),
+        seed, x2, w1.astype(cdtype), b1.reshape(1, f),
         w2.astype(cdtype), b2.reshape(1, d),
     )
-    return y.reshape(orig_shape)
+    return y[:n].reshape(orig_shape)
 
 
 def _bwd(dropout, interpret, res, g):
-    x, w1, b1, w2, seed = res
+    x, w1, b1, w2, b2, seed = res
     orig_shape = x.shape
     d = x.shape[-1]
     f = w1.shape[-1]
     n = x.size // d
     rows = _pick_rows(n, d, f, x.dtype.itemsize)
+    x2 = x.reshape(n, d)
+    g2 = g.reshape(n, d)
+    n_pad = -n % rows
+    if n_pad:
+        # zero dy rows make every padded-row gradient contribution vanish;
+        # same blocking as the forward, so the regenerated masks line up
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, n_pad), (0, 0)))
     cdtype = x.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // rows,),
+        grid=((n + n_pad) // rows,),
         in_specs=[
             pl.BlockSpec((rows, d), lambda i, *_: (i, 0)),
             pl.BlockSpec((d, f), lambda i, *_: (0, 0)),
@@ -217,7 +237,7 @@ def _bwd(dropout, interpret, res, g):
         functools.partial(_bwd_kernel, dropout=dropout),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((n + n_pad, d), x.dtype),
             jax.ShapeDtypeStruct((d, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
             jax.ShapeDtypeStruct((f, d), jnp.float32),
@@ -225,15 +245,15 @@ def _bwd(dropout, interpret, res, g):
         ],
         interpret=interpret,
     )(
-        seed, x.reshape(n, d), w1.astype(cdtype), b1.reshape(1, f),
-        w2.astype(cdtype), g.reshape(n, d),
+        seed, x2, w1.astype(cdtype), b1.reshape(1, f),
+        w2.astype(cdtype), g2,
     )
     return (
-        dx.reshape(orig_shape),
+        dx[:n].reshape(orig_shape),
         dw1.astype(w1.dtype),
         db1.reshape((f,)).astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.reshape((d,)).astype(b1.dtype),
+        db2.reshape((d,)).astype(b2.dtype),
         None,
     )
 
@@ -245,7 +265,7 @@ def _fused(x, w1, b1, w2, b2, seed, dropout, interpret):
 
 def _fused_fwd(x, w1, b1, w2, b2, seed, dropout, interpret):
     out = _fwd(x, w1, b1, w2, b2, seed, dropout, interpret)
-    return out, (x, w1, b1, w2, seed)
+    return out, (x, w1, b1, w2, b2, seed)
 
 
 _fused.defvjp(_fused_fwd, _bwd)
@@ -262,10 +282,5 @@ def fused_ffn(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``(x @ W1 + b1).relu().dropout() @ W2 + b2`` in one pass; differentiable."""
-    if dropout > 0.0:
-        if dropout_rng is None:
-            raise ValueError("dropout > 0 requires dropout_rng")
-        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
-    else:
-        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed_from_rng(dropout, dropout_rng)
     return _fused(x, w1, b1, w2, b2, seed, float(dropout), interpret)

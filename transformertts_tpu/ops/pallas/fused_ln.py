@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transformertts_tpu.ops.pallas.dropout_mask import keep_mask
+from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 
 
 def _pick_rows(n: int) -> int:
@@ -202,10 +202,5 @@ def residual_dropout_layernorm(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``LayerNorm(x + Dropout(h))`` in one fused pass; differentiable."""
-    if dropout > 0.0:
-        if dropout_rng is None:
-            raise ValueError("dropout > 0 requires dropout_rng")
-        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
-    else:
-        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed_from_rng(dropout, dropout_rng)
     return _fused(x, h, gamma, beta, seed, float(dropout), float(eps), interpret)

@@ -22,6 +22,7 @@ from transformertts_tpu.config import Config
 from transformertts_tpu.data import BucketedLoader, LJSpeechDataset
 from transformertts_tpu.infer import make_decode_fn
 from transformertts_tpu.models import TransformerTTS
+from transformertts_tpu.models.factory import runtime_model_kwargs
 from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
 from transformertts_tpu.train.checkpoint import CheckpointManager
 from transformertts_tpu.train.schedules import noam_schedule, teacher_forcing_ratio
@@ -35,23 +36,6 @@ from transformertts_tpu.utils import log_step_info, setup_logger
 from transformertts_tpu.utils import plot as plots
 
 
-def _fused_ffn_ok(cfg: Config) -> bool:
-    """Gate for the opt-in fused FFN kernel: lane-aligned widths + the
-    backward's scratch fits scoped VMEM (ops/pallas/fused_ffn.py)."""
-    if not cfg.runtime.use_pallas_fused_ffn:
-        return False
-    from transformertts_tpu.ops.pallas.fused_ffn import fused_ffn_fits
-
-    m = cfg.model
-    itemsize = 2 if cfg.runtime.compute_dtype == "bfloat16" else 4
-    return all(
-        d % 128 == 0 for d in (m.d_model, m.encoder_d_ffn, m.decoder_d_ffn)
-    ) and all(
-        fused_ffn_fits(m.d_model, f, itemsize)
-        for f in (m.encoder_d_ffn, m.decoder_d_ffn)
-    )
-
-
 class Trainer:
     def __init__(self, cfg: Config, exp_dir: str | Path, resume: bool = True,
                  profile_steps: int = 0):
@@ -63,14 +47,7 @@ class Trainer:
         self.cfg = cfg
         self.exp_dir = Path(exp_dir)
         self.log = setup_logger(str(self.exp_dir / "train.log"))
-        self.model = TransformerTTS(
-            cfg.model,
-            dtype=jax.numpy.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jax.numpy.float32,
-            use_flash=cfg.runtime.use_pallas_attention,
-            use_fused_ln=cfg.runtime.use_pallas_fused_ln and cfg.model.d_model % 128 == 0,
-            use_fused_ffn=_fused_ffn_ok(cfg),
-            fuse_qkv=cfg.runtime.fuse_qkv_projections,
-        )
+        self.model = TransformerTTS(cfg.model, **runtime_model_kwargs(cfg))
 
         r = cfg.runtime
         avail = len(jax.devices()) // r.mesh_model
