@@ -48,6 +48,31 @@ def test_no_row_or_col_structure():
     assert m.mean(axis=0).min() > 0.3 and m.mean(axis=0).max() < 0.7
 
 
+def test_one_round_hash_statistics(monkeypatch):
+    """The cheaper 1-round variant (TTS_DROPOUT_HASH_ROUNDS=1) must keep
+    the same statistical guarantees: correct keep rate, no row/col
+    structure, independent streams across seeds/salts, and no correlation
+    with adjacent counters."""
+    monkeypatch.setenv("TTS_DROPOUT_HASH_ROUNDS", "1")
+    for p in (0.1, 0.5):
+        m = np.asarray(keep_mask((256, 512), p, jnp.int32(1234), jnp.int32(7)))
+        assert abs(m.mean() - (1 - p)) < 0.02
+    m = np.asarray(keep_mask((128, 256), 0.5, jnp.int32(42), jnp.int32(0)))
+    assert m.mean(axis=1).min() > 0.3 and m.mean(axis=1).max() < 0.7
+    assert m.mean(axis=0).min() > 0.3 and m.mean(axis=0).max() < 0.7
+    a = np.asarray(keep_mask((64, 128), 0.5, jnp.int32(5), jnp.int32(3)))
+    c = np.asarray(keep_mask((64, 128), 0.5, jnp.int32(6), jnp.int32(3)))
+    d = np.asarray(keep_mask((64, 128), 0.5, jnp.int32(5), jnp.int32(4)))
+    assert 0.4 < (a == c).mean() < 0.6
+    assert 0.4 < (a == d).mean() < 0.6
+    # horizontally adjacent elements (counter+1) must be uncorrelated
+    agree = (m[:, :-1] == m[:, 1:]).mean()
+    assert 0.4 < agree < 0.6
+    # and vertically adjacent (counter+cols)
+    agree_v = (m[:-1, :] == m[1:, :]).mean()
+    assert 0.4 < agree_v < 0.6
+
+
 # ------------------------------- fwd/bwd mask agreement (interpret mode)
 #
 # Recipe: pick inputs so the kernel output is *linear* in one argument for

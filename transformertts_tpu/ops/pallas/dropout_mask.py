@@ -51,6 +51,8 @@ def keep_mask(shape, dropout: float, seed, salt):
     the windows overlap; XORing a fully-avalanched base into the counter
     makes the per-pair streams independent.
     """
+    import os
+
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     counter = r * jnp.uint32(shape[1]) + c
@@ -58,8 +60,14 @@ def keep_mask(shape, dropout: float, seed, salt):
         seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         ^ _fmix(salt.astype(jnp.uint32) * jnp.uint32(0xBF58476D))
     )
-    x = _fmix(counter ^ base)
-    x = _fmix(x ^ jnp.uint32(0x94D049BB))
+    # per-element mixing: 2 finalizer rounds by default; 1 round (SplitMix-
+    # style counter hash — golden-ratio stride + one full avalanche) via
+    # env for perf experiments.  Both pass the uniformity/decorrelation
+    # tests in tests/test_dropout_mask.py.
+    rounds = int(os.environ.get("TTS_DROPOUT_HASH_ROUNDS", "2"))
+    x = _fmix(counter * jnp.uint32(0x9E3779B9) ^ base)
+    if rounds > 1:
+        x = _fmix(x ^ jnp.uint32(0x94D049BB))
     threshold = jnp.uint32(int(dropout * 4294967296.0))
     return x >= threshold
 

@@ -5,12 +5,17 @@ Replaces the ATen fused attention the reference reaches via torch
 short (mel <= ~900 frames, phonemes <= ~180), so keys/values for one
 (batch, head) fit comfortably in VMEM.  The kernel therefore:
 
-- grids over (batch*heads, q-blocks), holding full K/V rows in VMEM;
+- grids over (batch*heads, q-blocks) with q-blocks as large as VMEM
+  allows (usually the full row — fewer grid cells measured faster,
+  tools/ab_flash.py), holding full K/V rows in VMEM;
 - computes scores -> bias/causal mask -> fp32 softmax -> (optional
   attention-weight dropout, torch-MHA style) -> output fused; the O(T^2)
   score matrix never touches HBM (XLA's unfused path writes + reads it
   twice per layer per direction — the HBM-bandwidth win);
-- saves per-row log-sum-exp for the backward pass;
+- keeps per-row scalars (softmax normalizer, dropout rescale, 1/sqrt(d)
+  scale) off the (block_q, Tk) matrices: they ride on the small
+  (block_q, d) matmul operands/outputs instead — VPU work scales with
+  T*d, not T^2;
 - backward recomputes probabilities blockwise (regenerating the identical
   dropout mask via the layout-independent counter-hash keyed by
   (seed, bh, q-block) — ops/pallas/dropout_mask.py) and accumulates
@@ -34,9 +39,21 @@ from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 NEG_INF = -1e9
 
 
-def _pick_block(t: int) -> int:
-    for cand in (256, 128, 64, 32, 16, 8):
-        if t % cand == 0:
+def _pick_block(t: int, tk: int) -> int:
+    """Largest q-block whose fp32 (block_q, Tk) score intermediates fit VMEM.
+
+    Bigger blocks win on-chip (fewer grid cells, larger matmuls, K/V loaded
+    once): measured 42.8 -> 39.0 ms/step going 256 -> 768 at Tq=Tk=768
+    (tools/ab_flash.py).  The cap keeps ~6 live (block_q, Tk) fp32 buffers
+    (scores/exp/mask/dp in the backward) plus K/V inside the 16 MB VMEM.
+    """
+    import os
+
+    forced = int(os.environ.get("TTS_FLASH_BLOCK_Q", "0"))
+    if forced and t % forced == 0:
+        return forced
+    for cand in (1024, 768, 512, 384, 256, 128, 64, 32, 16, 8):
+        if t % cand == 0 and cand * tk <= 620_000:
             return cand
     return t
 
@@ -44,12 +61,15 @@ def _pick_block(t: int) -> int:
 def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
     # operands stay in their storage dtype (bf16 on the fast path) — the MXU
     # runs full-rate bf16 with fp32 accumulation via preferred_element_type;
-    # upcasting first would force slow multi-pass fp32 matmuls
-    q = q_ref[0]
+    # upcasting first would force slow multi-pass fp32 matmuls.  The softmax
+    # scale is folded into the (block_q, d) Q operand — exact for the
+    # power-of-two d_head values transformer configs use, and it replaces a
+    # (block_q, Tk) fp32 multiply with a (block_q, d) one.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     s = s + bias_ref[0].astype(jnp.float32)  # (1, Tk) broadcasts over rows
     if causal:
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -71,22 +91,27 @@ def _fwd_kernel(
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    p = e / l
+    # softmax normalization (and the dropout 1/(1-p) rescale) are per-row
+    # scalars — applied to the (block_q, d) output instead of the
+    # (block_q, Tk) probability matrix (row_i(e @ v) / l_i == row_i(p @ v))
     if dropout > 0.0:
-        keep = keep_mask(p.shape, dropout, seed_ref[0], bh * 8192 + qi)
-        p = jnp.where(keep, p / (1.0 - dropout), 0.0)
+        keep = keep_mask(e.shape, dropout, seed_ref[0], bh * 8192 + qi)
+        e = jnp.where(keep, e, 0.0)
+        norm = 1.0 / (l * (1.0 - dropout))
+    else:
+        norm = 1.0 / l
     v = v_ref[0]
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) * norm
     o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _fwd(q, k, v, bias, seed, scale, causal, dropout, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    block_q = _pick_block(tq)
+    block_q = _pick_block(tq, tk)
 
     q4 = q.reshape(b * h, tq, d)
     k4 = k.reshape(b * h, tk, d)
@@ -137,8 +162,8 @@ def _bwd_kernel(
     # dynamic write that Mosaic rejects for small q-blocks)
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)  # pre-dropout probabilities
+    e = jnp.exp(s - m)  # unnormalized probabilities; p = e * r
+    r = 1.0 / jnp.sum(e, axis=1, keepdims=True)  # (block_q, 1) per-row
 
     v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
@@ -147,31 +172,45 @@ def _bwd_kernel(
     dp_tilde = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, Tk) = dL/d(p_dropped)
+    # per-row scalars (softmax normalizer r, dropout 1/(1-p), softmax scale)
+    # ride on the small (block_q, d) operands/outputs of the matmuls below
+    # rather than on (block_q, Tk) matrices:
+    #   dv += p_dropped^T @ do           == e_dropped^T @ (do * r * inv)
+    #   ds  = p * (dp - delta) * scale;  dp = keep ? dp_tilde * inv : 0
+    #       -> ds0 = e * (dp' - delta'),  dp' = keep ? dp_tilde : 0,
+    #          delta' folded per-branch, with (r * scale) applied to the
+    #          dq output rows / the q operand of dk
     if dropout > 0.0:
         # identical mask to forward: pure function of (seed, bh, qi, index)
-        keep = keep_mask(p.shape, dropout, seed_ref[0], bh * 8192 + qi)
+        keep = keep_mask(e.shape, dropout, seed_ref[0], bh * 8192 + qi)
         inv = 1.0 / (1.0 - dropout)
-        p_dropped = jnp.where(keep, p * inv, 0.0)
+        e_dropped = jnp.where(keep, e, 0.0)
+        do_scaled = (do.astype(jnp.float32) * (r * inv)).astype(do.dtype)
         dp = jnp.where(keep, dp_tilde * inv, 0.0)
     else:
-        p_dropped = p
+        e_dropped = e
+        do_scaled = (do.astype(jnp.float32) * r).astype(do.dtype)
         dp = dp_tilde
 
     dv_acc[...] += jax.lax.dot_general(
-        p_dropped.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        e_dropped.astype(do.dtype), do_scaled, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tk, D)
 
     # delta_i = sum_k dp~_ik p~_ik = dO_i . O_i
     delta = jnp.sum(do.astype(jnp.float32) * o, axis=1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+    ds0 = (e * (dp - delta)).astype(q_ref.dtype)
+    rs = r * scale  # (block_q, 1)
     q = q_ref[0]
     k = k_ref[0]
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            ds0, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * rs
     ).astype(dq_ref.dtype)
+    q_scaled = (q.astype(jnp.float32) * rs).astype(q.dtype)
     dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds0, q_scaled, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(qi == n_q - 1)
@@ -185,7 +224,7 @@ def _bwd(scale, causal, dropout, interpret, res, g):
     do = g
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    block_q = _pick_block(tq)
+    block_q = _pick_block(tq, tk)
 
     q4 = q.reshape(b * h, tq, d)
     k4 = k.reshape(b * h, tk, d)
