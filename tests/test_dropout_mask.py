@@ -48,12 +48,13 @@ def test_no_row_or_col_structure():
     assert m.mean(axis=0).min() > 0.3 and m.mean(axis=0).max() < 0.7
 
 
-def test_one_round_hash_statistics(monkeypatch):
-    """The cheaper 1-round variant (TTS_DROPOUT_HASH_ROUNDS=1) must keep
-    the same statistical guarantees: correct keep rate, no row/col
-    structure, independent streams across seeds/salts, and no correlation
-    with adjacent counters."""
-    monkeypatch.setenv("TTS_DROPOUT_HASH_ROUNDS", "1")
+@pytest.mark.parametrize("rounds", ["1", "2"])
+def test_hash_round_statistics(monkeypatch, rounds):
+    """Both hash variants (1-round default, 2-round via env) must keep the
+    same statistical guarantees: correct keep rate, no row/col structure,
+    independent streams across seeds/salts, and no correlation with
+    adjacent counters."""
+    monkeypatch.setenv("TTS_DROPOUT_HASH_ROUNDS", rounds)
     for p in (0.1, 0.5):
         m = np.asarray(keep_mask((256, 512), p, jnp.int32(1234), jnp.int32(7)))
         assert abs(m.mean() - (1 - p)) < 0.02

@@ -176,8 +176,12 @@ def make_train_step(
             return (acc_grads, batch_stats), losses
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        import os
+
+        unroll = int(os.environ.get("TTS_ACCUM_UNROLL", "1"))
         (acc_grads, new_stats), losses = jax.lax.scan(
-            micro_step, (zero_grads, state.batch_stats), (batch, rngs)
+            micro_step, (zero_grads, state.batch_stats), (batch, rngs),
+            unroll=unroll if k % unroll == 0 else 1,
         )
         grads = jax.tree.map(lambda g: g / k, acc_grads)
 
