@@ -1,0 +1,86 @@
+"""Same-session A/B of grad-accum scan unroll + fresh step trace.
+
+Times the full k=4 scheduled-sampling step with the scan rolled (default)
+vs fully unrolled (TTS_ACCUM_UNROLL=4), then writes a profiler trace of
+the default configuration to /tmp/jaxtrace2 for op-level analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, args, n=30, windows=3):
+    out = None
+    for _ in range(8):
+        out = fn(*args)
+    float(jax.device_get(out))
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        float(jax.device_get(out))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3
+
+
+def main():
+    from transformertts_tpu.config import Config
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.models.factory import runtime_model_kwargs
+    from transformertts_tpu.train import create_train_state, make_train_step
+    from transformertts_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = Config().validate()
+    jax.config.update("jax_default_prng_impl", cfg.runtime.prng_impl)
+    model = TransformerTTS(cfg.model, **runtime_model_kwargs(cfg))
+
+    B, TM, TP = 16, 768, 128
+    rng = np.random.default_rng(0)
+    batch = {
+        "phoneme": jnp.asarray(rng.integers(1, 80, (4, B, TP)), jnp.int32),
+        "melspec": jnp.asarray(
+            rng.standard_normal((4, B, TM, 80)) * 0.8, jnp.float32),
+        "phoneme_lens": jnp.full((4, B), TP, jnp.int32),
+        "melspec_lens": jnp.full((4, B), TM, jnp.int32),
+    }
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: np.asarray(x[:1]), batch))
+    key = jax.random.PRNGKey(1)
+    results = {}
+
+    def measure(tag):
+        step = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+        ms = _time(lambda s, b: step(s, b, 0.8, key)[1]["total"], (state, batch))
+        results[tag] = ms
+        print(f"{tag:<22} {ms:8.2f} ms", file=sys.stderr)
+        return step
+
+    os.environ["TTS_ACCUM_UNROLL"] = "4"
+    measure("step_unroll4")
+    os.environ["TTS_ACCUM_UNROLL"] = "1"
+    step = measure("step_rolled")
+
+    with jax.profiler.trace("/tmp/jaxtrace2"):
+        for _ in range(5):
+            _, m = step(state, batch, 0.8, key)
+        float(jax.device_get(m["total"]))
+
+    dev = jax.devices()[0]
+    results["_device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

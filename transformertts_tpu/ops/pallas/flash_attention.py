@@ -39,6 +39,21 @@ from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 NEG_INF = -1e9
 
 
+def _exp(x: jnp.ndarray) -> jnp.ndarray:
+    """exp over the (block_q, Tk) shifted scores.
+
+    With TTS_FLASH_BF16_EXP=1 the exponential runs on bf16 (packed 2/lane
+    on the VPU): inputs are <= 0, outputs in [0, 1], and the resulting
+    probabilities are cast to bf16 for the PV matmul anyway — the row-sum
+    normalizer still accumulates in fp32.
+    """
+    import os
+
+    if os.environ.get("TTS_FLASH_BF16_EXP", "0") == "1":
+        return jnp.exp(x.astype(jnp.bfloat16))
+    return jnp.exp(x)
+
+
 def _pick_block(t: int, tk: int) -> int:
     """Largest q-block whose fp32 (block_q, Tk) score intermediates fit VMEM.
 
@@ -89,8 +104,8 @@ def _fwd_kernel(
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
 
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
+    e = _exp(s - m)
+    l = jnp.sum(e, axis=1, dtype=jnp.float32, keepdims=True)
     # softmax normalization (and the dropout 1/(1-p) rescale) are per-row
     # scalars — applied to the (block_q, d) output instead of the
     # (block_q, Tk) probability matrix (row_i(e @ v) / l_i == row_i(p @ v))
@@ -162,8 +177,8 @@ def _bwd_kernel(
     # dynamic write that Mosaic rejects for small q-blocks)
     s = _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q)
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)  # unnormalized probabilities; p = e * r
-    r = 1.0 / jnp.sum(e, axis=1, keepdims=True)  # (block_q, 1) per-row
+    e = _exp(s - m)  # unnormalized probabilities; p = e * r
+    r = 1.0 / jnp.sum(e, axis=1, dtype=jnp.float32, keepdims=True)  # (block_q, 1)
 
     v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
