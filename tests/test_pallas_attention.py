@@ -109,3 +109,27 @@ def test_single_query_and_ragged_block():
     out = flash_attention(q, k, v, None, causal=False, interpret=True)
     ref, _ = dot_product_attention(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("tq,tk,causal,seed", [
+    (768, 768, True, 10),   # decoder self-attn bucket (full-row q-block)
+    (768, 128, False, 11),  # decoder cross-attn bucket
+    (384, 384, True, 12),
+    (100, 52, False, 13),   # odd lengths (no divisor -> block_q == tq)
+    (896, 896, True, 14),   # largest mel bucket
+    (40, 1500, False, 15),  # decode-length keys
+], ids=["self768", "cross768x128", "self384", "odd", "self896", "longk"])
+def test_shape_sweep_parity(tq, tk, causal, seed):
+    """Parity across the shapes the block picker actually sees: bucketed
+    training lengths (full-row q-blocks after the VMEM-budget rule), odd
+    fallback shapes, and long-key decode shapes."""
+    rng = np.random.default_rng(seed)
+    q, k, v = make_qkv(rng, tq, tk)
+    lens = jnp.array([tk, max(1, tk - 9)])
+    kb = key_bias_from_lens(lens, tk)
+    bias = padding_bias(lens, tk)
+    if causal:
+        bias = bias + causal_bias(tq)
+    ref, _ = dot_product_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, kb, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

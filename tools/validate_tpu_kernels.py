@@ -110,16 +110,25 @@ def validate_flash():
     ym = np.asarray(fv(-vdir, key), np.float64).sum()
     fd = float((yp - ym) / 2.0)
     rel = abs(fd - analytic) / (abs(analytic) + 1e-9)
-    check("flash fwd/bwd mask agreement", rel < 1e-2,
+    # threshold: true mask mismatch is O(1) (0.61 observed); residual
+    # numerics are draw-dependent (see the fused_ffn check below)
+    check("flash fwd/bwd mask agreement", rel < 0.1,
           f"analytic={analytic:.4f} fd={fd:.4f} rel={rel:.3e}")
 
-    # no-dropout parity against the XLA path on-chip
+    # no-dropout parity against the XLA path on-chip.  Tolerance: Mosaic's
+    # default-precision fp32 matmul rounds MXU operands to bf16; the kernel
+    # feeds the PV matmul UNNORMALIZED exp values (normalization is applied
+    # to the output — the deferred-scalar optimization), while the XLA path
+    # rounds the normalized probabilities, so the two round different
+    # quantities and diverge by O(bf16 eps) * ||v|| (~6e-3 observed) even
+    # though both are within bf16 rounding of the exact softmax.  Interpret
+    # mode (true fp32 matmuls) agrees to ~1e-6 (tests/test_pallas_attention).
     from transformertts_tpu.models.attention import dot_product_attention
     from transformertts_tpu.models.masks import causal_bias
 
     ref, _ = dot_product_attention(q, k, v, causal_bias(T))
     out = np.asarray(flash_attention(q, k, v, None, causal=True))
-    check("flash on-chip parity", np.abs(out - np.asarray(ref)).max() < 2e-4,
+    check("flash on-chip parity", np.abs(out - np.asarray(ref)).max() < 2e-2,
           f"max|diff|={np.abs(out - np.asarray(ref)).max():.2e}")
 
 
@@ -176,7 +185,14 @@ def validate_fused_ffn():
     ym = np.asarray(fl(-v, key), np.float64).sum()
     fd = float((yp - ym) / 2.0)
     rel = abs(fd - analytic) / (abs(analytic) + 1e-9)
-    check("fused_ffn fwd/bwd mask agreement", rel < 1e-2,
+    # threshold: a true fwd/bwd mask mismatch measures O(1) here (0.61
+    # observed with the layout-dependent PRNG); the residual numerics are
+    # draw-dependent — the ±v symmetry cancels most but not all of the
+    # bf16 operand rounding around the +5 bias shift, and the denominator
+    # varies with which units the mask keeps (rel 9e-4 .. 2e-2 observed
+    # across mask draws).  Exact-arithmetic agreement is pinned separately
+    # in interpret mode (tests/test_dropout_mask.py).
+    check("fused_ffn fwd/bwd mask agreement", rel < 0.1,
           f"analytic={analytic:.4f} fd={fd:.4f} rel={rel:.3e}")
 
 
