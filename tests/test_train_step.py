@@ -147,3 +147,16 @@ def test_fused_optimizer_equivalent(setup):
     p_tree = run(False)
     for a, b in zip(jax.tree.leaves(p_tree), jax.tree.leaves(p_flat)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
+def test_unroll_matches_rolled(setup, monkeypatch):
+    """TTS_ACCUM_UNROLL must not change the math — only the HLO shape."""
+    cfg, model, batch, state = setup
+    key = jax.random.PRNGKey(3)
+    step = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+    _, m_rolled = step(state, batch, 0.8, key)
+    monkeypatch.setenv("TTS_ACCUM_UNROLL", "2")
+    step_u = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+    _, m_unrolled = step_u(state, batch, 0.8, key)
+    np.testing.assert_allclose(
+        float(m_rolled["total"]), float(m_unrolled["total"]), rtol=1e-5)
