@@ -156,6 +156,11 @@ class RuntimeConfig:
     # per-leaf updates), so off by default; may help at much larger scale.
     # NOTE: changes opt_state structure — checkpoints don't carry across.
     fused_optimizer: bool = False
+    # run each batch-1 decode step as ONE Pallas program with all decoder
+    # weights + caches resident in VMEM (ops/pallas/decode_step.py) — the
+    # single-stream serving latency path.  Auto-gated: TPU backend, batch 1,
+    # VMEM fit (decode_step_fits); batched decode stays on the XLA loop.
+    use_pallas_decode_step: bool = True
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.

@@ -65,11 +65,18 @@ def make_decode_fn(
     max_len: Optional[int] = None,
     stop_threshold: Optional[float] = None,
     mask_encoder_source: bool = False,
+    use_megakernel: Optional[bool] = None,
 ):
     """Returns jitted fn(variables, phoneme, phoneme_lens) -> dict with
     pred_melspec/post_melspec (B, max_len, n_mels), pred_stop, n_frames.
 
     Frames at positions >= n_frames are padding (zeros pre-postnet).
+
+    ``use_megakernel``: run each decoder step as ONE Pallas program
+    (ops/pallas/decode_step.py) — the single-stream (batch 1) latency fast
+    path.  None = auto: on for batch 1 on TPU when the weights+caches fit
+    VMEM (``cfg.runtime.use_pallas_decode_step``); True forces it (interpret
+    mode off-TPU, for tests); False keeps the XLA per-op loop.
     """
     max_len = max_len or cfg.runtime.infer_max_len
     stop_threshold = (
@@ -96,6 +103,23 @@ def make_decode_fn(
         cross_bias = padding_bias(phoneme_lens, phoneme.shape[1])
 
         dtype = memory.dtype
+
+        from transformertts_tpu.ops.pallas.decode_step import decode_step_fits
+
+        on_tpu = jax.default_backend() == "tpu"
+        mega = use_megakernel
+        if mega is None:
+            mega = (
+                cfg.runtime.use_pallas_decode_step
+                and on_tpu
+                and b == 1
+                and decode_step_fits(cfg, n_pos, phoneme.shape[1])
+            )
+        if mega:
+            return _megakernel_decode(
+                model, cfg, variables, bound, memory, cross_kv, cross_bias,
+                n_pos, max_len, stop_threshold, interpret=not on_tpu,
+            )
         init = {
             "t": jnp.zeros((), jnp.int32),  # decoder position (group) counter
             "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
@@ -164,6 +188,86 @@ def make_decode_fn(
         }
 
     return jax.jit(decode)
+
+
+def _megakernel_decode(
+    model, cfg, variables, bound, memory, cross_kv, cross_bias,
+    n_pos, max_len, stop_threshold, interpret,
+):
+    """Batch-1 decode where each step is ONE Pallas program
+    (ops/pallas/decode_step.py).  Per-step XLA work shrinks to the kernel
+    plus a handful of slice/update ops (PE row, frame fetch, cache writes,
+    stop check)."""
+    from transformertts_tpu.models.modules import sinusoid_table
+    from transformertts_tpu.ops.pallas.decode_step import (
+        decode_step,
+        pack_decode_weights,
+    )
+
+    n_mels = cfg.model.n_mels
+    r = cfg.model.reduction_factor
+    n_layers = cfg.model.decoder_n_layers
+    n_heads = cfg.model.decoder_n_head
+    d_head = cfg.model.d_model // n_heads
+    dtype = memory.dtype
+
+    packed = pack_decode_weights(variables["params"], cfg, dtype=dtype)
+    alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
+    pe_table = (
+        alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
+    ).astype(jnp.float32)
+
+    # (L, H, Tp, dh) cross caches, batch squeezed
+    ck = jnp.stack([kv[0][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
+    cv = jnp.stack([kv[1][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
+    # padding_bias is broadcast-shaped (B, 1, 1, Tp) — the kernel wants (1, Tp)
+    cbias = cross_bias[:1].reshape(1, -1).astype(jnp.float32)
+
+    init = {
+        "t": jnp.zeros((), jnp.int32),
+        "frames": jnp.zeros((1, max_len + 1, n_mels), jnp.float32),
+        "stops": jnp.full((1, max_len), NEG_INF, jnp.float32),
+        "stopped": jnp.zeros((1,), bool),
+        "self_k": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
+        "self_v": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
+    }
+
+    def cond(s):
+        return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
+
+    def body(s):
+        t = s["t"]
+        frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
+        pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
+        y, k_new, v_new = decode_step(
+            t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
+            packed, interpret=interpret,
+        )
+        mel_t = y[:, : n_mels * r].reshape(1, r, n_mels)
+        stop_t = y[:, n_mels * r :]
+        self_k = jax.lax.dynamic_update_slice(s["self_k"], k_new, (0, 0, t, 0))
+        self_v = jax.lax.dynamic_update_slice(s["self_v"], v_new, (0, 0, t, 0))
+        frames = jax.lax.dynamic_update_slice(s["frames"], mel_t, (0, t * r + 1, 0))
+        stops = jax.lax.dynamic_update_slice(s["stops"], stop_t, (0, t * r))
+        stopped = s["stopped"] | jnp.any(
+            jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
+        )
+        return {
+            "t": t + 1, "frames": frames, "stops": stops, "stopped": stopped,
+            "self_k": self_k, "self_v": self_v,
+        }
+
+    final = jax.lax.while_loop(cond, body, init)
+    n_frames = final["t"] * r
+    pred = final["frames"][:, 1:, :]
+    post = bound.apply_postnet(pred).astype(jnp.float32)
+    return {
+        "pred_melspec": pred,
+        "post_melspec": post,
+        "pred_stop": final["stops"],
+        "n_frames": n_frames,
+        "n_frames_per_row": per_row_lengths(final["stops"], n_frames, stop_threshold),
+    }
 
 
 def naive_decode(
