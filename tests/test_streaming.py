@@ -81,3 +81,44 @@ def test_chunk_divisibility_enforced(setup):
     model, *_ = setup
     with pytest.raises(ValueError, match="multiple of chunk"):
         make_stream_fns(model, CFG, max_len=10, chunk=4)
+
+
+def test_stream_megakernel_matches_oneshot():
+    """Batch-1 streaming through the decode-step megakernel must equal the
+    XLA one-shot decode (interpret mode off-TPU)."""
+    model = TransformerTTS(CFG.model)
+    rng = np.random.default_rng(1)
+    phoneme = jnp.asarray(rng.integers(1, 60, (1, TP)), jnp.int32)
+    lens = jnp.full((1,), TP, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, jnp.zeros((1, 32, CFG.model.n_mels)), lens,
+        jnp.full((1,), 32, jnp.int32), train=False,
+    )
+    oneshot = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0,
+                             use_megakernel=False)
+    ref = jax.device_get(oneshot(variables, phoneme, lens))
+    chunks = list(stream_decode(model, CFG, variables, np.asarray(phoneme),
+                                np.asarray(lens), max_len=MAX_LEN, chunk=CHUNK,
+                                stop_threshold=2.0, use_megakernel=True))
+    pred_all = np.concatenate([p for p, _ in chunks], axis=1)
+    post_all = np.concatenate([q for _, q in chunks], axis=1)
+    assert pred_all.shape[1] == MAX_LEN
+    np.testing.assert_allclose(pred_all, ref["pred_melspec"][:, :MAX_LEN], atol=5e-4)
+    np.testing.assert_allclose(post_all, ref["post_melspec"][:, :MAX_LEN], atol=2e-2)
+
+
+def test_stream_megakernel_batch_guard():
+    model = TransformerTTS(CFG.model)
+    rng = np.random.default_rng(2)
+    phoneme = jnp.asarray(rng.integers(1, 60, (2, TP)), jnp.int32)
+    lens = jnp.full((2,), TP, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, jnp.zeros((2, 32, CFG.model.n_mels)), lens,
+        jnp.full((2,), 32, jnp.int32), train=False,
+    )
+    init, _, _ = make_stream_fns(model, CFG, max_len=MAX_LEN, chunk=CHUNK,
+                                 use_megakernel=True)
+    with pytest.raises(ValueError, match="batch 1"):
+        init(variables, phoneme, lens)

@@ -190,6 +190,50 @@ def make_decode_fn(
     return jax.jit(decode)
 
 
+def _mega_context(cfg, variables, memory, cross_kv, cross_bias):
+    """Kernel-layout weights/caches shared by one-shot + streaming decode."""
+    from transformertts_tpu.models.modules import sinusoid_table
+    from transformertts_tpu.ops.pallas.decode_step import pack_decode_weights
+
+    packed = pack_decode_weights(variables["params"], cfg, dtype=memory.dtype)
+    alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
+    pe_table = (
+        alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
+    ).astype(jnp.float32)
+    # (L, H, Tp, dh) cross caches, batch squeezed
+    ck = jnp.stack([kv[0][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
+    cv = jnp.stack([kv[1][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
+    # padding_bias is broadcast-shaped (B, 1, 1, Tp) — the kernel wants (1, Tp)
+    cbias = cross_bias[:1].reshape(1, -1).astype(jnp.float32)
+    return packed, pe_table, ck, cv, cbias
+
+
+def _mega_step(s, ctx, r, n_mels, interpret):
+    """One megakernel decode step over state dict ``s`` (t/frames/stops/
+    stopped/self_k/self_v); returns the updated state."""
+    from transformertts_tpu.ops.pallas.decode_step import decode_step
+
+    packed, pe_table, ck, cv, cbias = ctx
+    t = s["t"]
+    frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
+    pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
+    y, k_new, v_new = decode_step(
+        t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
+        packed, interpret=interpret,
+    )
+    mel_t = y[:, : n_mels * r].reshape(1, r, n_mels)
+    stop_t = y[:, n_mels * r :]
+    return {
+        **s,
+        "t": t + 1,
+        "frames": jax.lax.dynamic_update_slice(
+            s["frames"], mel_t, (0, t * r + 1, 0)
+        ),
+        "self_k": jax.lax.dynamic_update_slice(s["self_k"], k_new, (0, 0, t, 0)),
+        "self_v": jax.lax.dynamic_update_slice(s["self_v"], v_new, (0, 0, t, 0)),
+    }, stop_t
+
+
 def _megakernel_decode(
     model, cfg, variables, bound, memory, cross_kv, cross_bias,
     n_pos, max_len, stop_threshold, interpret,
@@ -198,12 +242,6 @@ def _megakernel_decode(
     (ops/pallas/decode_step.py).  Per-step XLA work shrinks to the kernel
     plus a handful of slice/update ops (PE row, frame fetch, cache writes,
     stop check)."""
-    from transformertts_tpu.models.modules import sinusoid_table
-    from transformertts_tpu.ops.pallas.decode_step import (
-        decode_step,
-        pack_decode_weights,
-    )
-
     n_mels = cfg.model.n_mels
     r = cfg.model.reduction_factor
     n_layers = cfg.model.decoder_n_layers
@@ -211,17 +249,7 @@ def _megakernel_decode(
     d_head = cfg.model.d_model // n_heads
     dtype = memory.dtype
 
-    packed = pack_decode_weights(variables["params"], cfg, dtype=dtype)
-    alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
-    pe_table = (
-        alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
-    ).astype(jnp.float32)
-
-    # (L, H, Tp, dh) cross caches, batch squeezed
-    ck = jnp.stack([kv[0][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
-    cv = jnp.stack([kv[1][0] for kv in cross_kv]).transpose(0, 2, 1, 3)
-    # padding_bias is broadcast-shaped (B, 1, 1, Tp) — the kernel wants (1, Tp)
-    cbias = cross_bias[:1].reshape(1, -1).astype(jnp.float32)
+    ctx = _mega_context(cfg, variables, memory, cross_kv, cross_bias)
 
     init = {
         "t": jnp.zeros((), jnp.int32),
@@ -237,25 +265,12 @@ def _megakernel_decode(
 
     def body(s):
         t = s["t"]
-        frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
-        pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
-        y, k_new, v_new = decode_step(
-            t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
-            packed, interpret=interpret,
-        )
-        mel_t = y[:, : n_mels * r].reshape(1, r, n_mels)
-        stop_t = y[:, n_mels * r :]
-        self_k = jax.lax.dynamic_update_slice(s["self_k"], k_new, (0, 0, t, 0))
-        self_v = jax.lax.dynamic_update_slice(s["self_v"], v_new, (0, 0, t, 0))
-        frames = jax.lax.dynamic_update_slice(s["frames"], mel_t, (0, t * r + 1, 0))
-        stops = jax.lax.dynamic_update_slice(s["stops"], stop_t, (0, t * r))
-        stopped = s["stopped"] | jnp.any(
+        s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret)
+        s2["stops"] = jax.lax.dynamic_update_slice(s["stops"], stop_t, (0, t * r))
+        s2["stopped"] = s["stopped"] | jnp.any(
             jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
         )
-        return {
-            "t": t + 1, "frames": frames, "stops": stops, "stopped": stopped,
-            "self_k": self_k, "self_v": self_v,
-        }
+        return s2
 
     final = jax.lax.while_loop(cond, body, init)
     n_frames = final["t"] * r

@@ -49,6 +49,7 @@ def make_stream_fns(
     max_len: Optional[int] = None,
     chunk: int = 64,
     stop_threshold: Optional[float] = None,
+    use_megakernel: Optional[bool] = None,
 ):
     """Returns (init_fn, chunk_fn, post_fn).
 
@@ -79,16 +80,48 @@ def make_stream_fns(
     n_pos = max_len // r  # decoder positions
     chunk_pos = chunk // r
 
+    def _mega(b, tp):
+        """Static choice of the megakernel chunk body (batch-1 TPU path)."""
+        from transformertts_tpu.ops.pallas.decode_step import decode_step_fits
+
+        mega = use_megakernel
+        if mega is None:
+            mega = (
+                cfg.runtime.use_pallas_decode_step
+                and jax.default_backend() == "tpu"
+                and b == 1
+                and decode_step_fits(cfg, n_pos, tp)
+            )
+        elif mega and b != 1:
+            raise ValueError("decode-step megakernel supports batch 1 only")
+        return mega
+
     def init(variables, phoneme: jnp.ndarray, phoneme_lens: jnp.ndarray):
         b = phoneme.shape[0]
         bound = model.bind(variables)
         memory = bound.encode(phoneme, None, train=False)
         cross = bound.build_cross_cache(memory)
         dtype = memory.dtype
-        return {
+        base = {
             "t": jnp.zeros((), jnp.int32),  # decoder position (group) counter
             "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
             "stopped": jnp.zeros((b,), bool),
+        }
+        if _mega(b, phoneme.shape[1]):
+            from transformertts_tpu.infer.decode import _mega_context
+
+            _, _, ck, cv, cbias = _mega_context(
+                cfg, variables, memory, cross,
+                padding_bias(phoneme_lens, phoneme.shape[1]),
+            )
+            return {
+                **base,
+                "self_k": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
+                "self_v": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
+                "cross_k": ck, "cross_v": cv, "cross_bias": cbias,
+            }
+        return {
+            **base,
             "self_k": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
             "self_v": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
             "cross_k": jnp.stack([k for k, _ in cross]),
@@ -96,12 +129,44 @@ def make_stream_fns(
             "cross_bias": padding_bias(phoneme_lens, phoneme.shape[1]),
         }
 
+    def _mega_chunk(variables, carry, start_t, cond):
+        """Megakernel chunk body — carry uses the kernel cache layout."""
+        from transformertts_tpu.infer.decode import _mega_step
+        from transformertts_tpu.models.modules import sinusoid_table
+        from transformertts_tpu.ops.pallas.decode_step import pack_decode_weights
+
+        dtype = carry["self_k"].dtype
+        packed = pack_decode_weights(variables["params"], cfg, dtype=dtype)
+        alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
+        pe_table = (
+            alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
+        ).astype(jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+
+        def body(s):
+            ctx = (packed, pe_table, s["cross_k"], s["cross_v"], s["cross_bias"])
+            s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret)
+            s2["stopped"] = s["stopped"] | jnp.any(
+                jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
+            )
+            return s2
+
+        return jax.lax.while_loop(cond, body, carry)
+
     def chunk_fn(variables, carry):
         bound = model.bind(variables)
         start_t = carry["t"]
 
         def cond(s):
             return (s["t"] < jnp.minimum(start_t + chunk_pos, n_pos)) & ~jnp.all(s["stopped"])
+
+        if carry["self_k"].ndim == 4:  # megakernel cache layout (L, H, n_pos, dh)
+            carry = _mega_chunk(variables, carry, start_t, cond)
+            n_new = (carry["t"] - start_t) * r
+            pred = jax.lax.dynamic_slice_in_dim(
+                carry["frames"], start_t * r + 1, chunk, axis=1
+            )
+            return carry, pred, n_new
 
         def body(s):
             t = s["t"]
@@ -165,6 +230,7 @@ def stream_decode(
     max_len: Optional[int] = None,
     chunk: int = 64,
     stop_threshold: Optional[float] = None,
+    use_megakernel: Optional[bool] = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yields aligned (pre_postnet, postnet) chunks of shape (B, <=chunk, n_mels).
 
@@ -173,7 +239,7 @@ def stream_decode(
     exist, so emission lags decode by at most ceil(overlap/chunk) chunks.
     """
     init, chunk_fn, post_fn = make_stream_fns(
-        model, cfg, max_len, chunk, stop_threshold
+        model, cfg, max_len, chunk, stop_threshold, use_megakernel
     )
     overlap = postnet_overlap(cfg)
     carry = init(variables, phoneme, phoneme_lens)
