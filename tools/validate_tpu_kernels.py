@@ -110,9 +110,12 @@ def validate_flash():
     ym = np.asarray(fv(-vdir, key), np.float64).sum()
     fd = float((yp - ym) / 2.0)
     rel = abs(fd - analytic) / (abs(analytic) + 1e-9)
-    # threshold: true mask mismatch is O(1) (0.61 observed); residual
-    # numerics are draw-dependent (see the fused_ffn check below)
-    check("flash fwd/bwd mask agreement", rel < 0.1,
+    # threshold: the failure mode this detects — layout-dependent PRNG
+    # giving the backward an ~independent mask — measures O(1) here (0.61
+    # observed); residual numerics are draw-dependent (see the fused_ffn
+    # check below; <= 2.1e-2 observed).  Small partial corruptions are the
+    # interpret-mode tests' job (exact arithmetic catches ANY mismatch).
+    check("flash fwd/bwd mask agreement", rel < 0.05,
           f"analytic={analytic:.4f} fd={fd:.4f} rel={rel:.3e}")
 
     # no-dropout parity against the XLA path on-chip.  Tolerance: Mosaic's
@@ -128,7 +131,7 @@ def validate_flash():
 
     ref, _ = dot_product_attention(q, k, v, causal_bias(T))
     out = np.asarray(flash_attention(q, k, v, None, causal=True))
-    check("flash on-chip parity", np.abs(out - np.asarray(ref)).max() < 2e-2,
+    check("flash on-chip parity", np.abs(out - np.asarray(ref)).max() < 1.5e-2,
           f"max|diff|={np.abs(out - np.asarray(ref)).max():.2e}")
 
 
@@ -185,14 +188,16 @@ def validate_fused_ffn():
     ym = np.asarray(fl(-v, key), np.float64).sum()
     fd = float((yp - ym) / 2.0)
     rel = abs(fd - analytic) / (abs(analytic) + 1e-9)
-    # threshold: a true fwd/bwd mask mismatch measures O(1) here (0.61
-    # observed with the layout-dependent PRNG); the residual numerics are
-    # draw-dependent — the ±v symmetry cancels most but not all of the
-    # bf16 operand rounding around the +5 bias shift, and the denominator
-    # varies with which units the mask keeps (rel 9e-4 .. 2e-2 observed
-    # across mask draws).  Exact-arithmetic agreement is pinned separately
-    # in interpret mode (tests/test_dropout_mask.py).
-    check("fused_ffn fwd/bwd mask agreement", rel < 0.1,
+    # threshold: a true fwd/bwd mask mismatch (layout-dependent PRNG giving
+    # the backward an ~independent mask) measures O(1) here — 0.61 observed;
+    # the residual numerics are draw-dependent — the ±v symmetry cancels
+    # most but not all of the bf16 operand rounding around the +5 bias
+    # shift, and the denominator varies with which units the mask keeps
+    # (rel 9e-4 .. 2.1e-2 observed across mask draws).  2.5x the observed
+    # band keeps 12x headroom to the failure signal; exact-arithmetic
+    # agreement (which catches arbitrarily small corruption) is pinned in
+    # interpret mode (tests/test_dropout_mask.py).
+    check("fused_ffn fwd/bwd mask agreement", rel < 0.05,
           f"analytic={analytic:.4f} fd={fd:.4f} rel={rel:.3e}")
 
 

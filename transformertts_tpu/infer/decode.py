@@ -115,6 +115,8 @@ def make_decode_fn(
                 and b == 1
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1])
             )
+        elif mega and b != 1:
+            raise ValueError("decode-step megakernel supports batch 1 only")
         if mega:
             return _megakernel_decode(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,

@@ -110,7 +110,7 @@ def make_stream_fns(
         if _mega(b, phoneme.shape[1]):
             from transformertts_tpu.infer.decode import _mega_context
 
-            _, _, ck, cv, cbias = _mega_context(
+            packed, pe_table, ck, cv, cbias = _mega_context(
                 cfg, variables, memory, cross,
                 padding_bias(phoneme_lens, phoneme.shape[1]),
             )
@@ -119,6 +119,9 @@ def make_stream_fns(
                 "self_k": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
                 "self_v": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
                 "cross_k": ck, "cross_v": cv, "cross_bias": cbias,
+                # packed weights + scaled PE ride in the (donated) carry so
+                # chunk_fn doesn't repack them every chunk
+                "packed": packed, "pe_table": pe_table,
             }
         return {
             **base,
@@ -129,22 +132,16 @@ def make_stream_fns(
             "cross_bias": padding_bias(phoneme_lens, phoneme.shape[1]),
         }
 
-    def _mega_chunk(variables, carry, start_t, cond):
-        """Megakernel chunk body — carry uses the kernel cache layout."""
+    def _mega_chunk(carry, cond):
+        """Megakernel chunk body — carry uses the kernel cache layout and
+        already holds the packed weights + scaled PE table (from init)."""
         from transformertts_tpu.infer.decode import _mega_step
-        from transformertts_tpu.models.modules import sinusoid_table
-        from transformertts_tpu.ops.pallas.decode_step import pack_decode_weights
 
-        dtype = carry["self_k"].dtype
-        packed = pack_decode_weights(variables["params"], cfg, dtype=dtype)
-        alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
-        pe_table = (
-            alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
-        ).astype(jnp.float32)
         interpret = jax.default_backend() != "tpu"
 
         def body(s):
-            ctx = (packed, pe_table, s["cross_k"], s["cross_v"], s["cross_bias"])
+            ctx = (s["packed"], s["pe_table"], s["cross_k"], s["cross_v"],
+                   s["cross_bias"])
             s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret)
             s2["stopped"] = s["stopped"] | jnp.any(
                 jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
@@ -161,7 +158,7 @@ def make_stream_fns(
             return (s["t"] < jnp.minimum(start_t + chunk_pos, n_pos)) & ~jnp.all(s["stopped"])
 
         if carry["self_k"].ndim == 4:  # megakernel cache layout (L, H, n_pos, dh)
-            carry = _mega_chunk(variables, carry, start_t, cond)
+            carry = _mega_chunk(carry, cond)
             n_new = (carry["t"] - start_t) * r
             pred = jax.lax.dynamic_slice_in_dim(
                 carry["frames"], start_t * r + 1, chunk, axis=1

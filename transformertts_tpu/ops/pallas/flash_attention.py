@@ -70,21 +70,41 @@ def _pick_block(t: int, tk: int) -> int:
     for cand in (1024, 768, 512, 384, 256, 128, 64, 32, 16, 8):
         if t % cand == 0 and cand * tk <= 620_000:
             return cand
+    # irregular t (no aligned divisor): largest divisor of t under the VMEM
+    # cap — the grid math (tq // block_q) requires an exact divisor, and the
+    # cap must hold for any length, not just the candidate list
+    for cand in range(min(t, max(620_000 // max(tk, 1), 1)), 0, -1):
+        if t % cand == 0:
+            return cand
     return t
+
+
+def _scale_is_exact(scale: float) -> bool:
+    """True when ``scale`` is a power of two (exactly representable, and
+    multiplication by it is exact in any binary float dtype)."""
+    import math
+
+    m, _ = math.frexp(scale)
+    return m == 0.5
 
 
 def _scores(q_ref, k_ref, bias_ref, qi, scale, causal, block_q):
     # operands stay in their storage dtype (bf16 on the fast path) — the MXU
     # runs full-rate bf16 with fp32 accumulation via preferred_element_type;
     # upcasting first would force slow multi-pass fp32 matmuls.  The softmax
-    # scale is folded into the (block_q, d) Q operand — exact for the
-    # power-of-two d_head values transformer configs use, and it replaces a
-    # (block_q, Tk) fp32 multiply with a (block_q, d) one.
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    # scale is folded into the (block_q, d) Q operand when it is a power of
+    # two (d_head 4, 16, 64, 256, ... — exact in bf16), replacing a
+    # (block_q, Tk) fp32 multiply with a (block_q, d) one; for other head
+    # dims (e.g. d_head=128, scale 2^-3.5) it stays on the fp32 scores so
+    # the fold never costs precision.
+    fold = _scale_is_exact(scale)
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype) if fold else q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if not fold:
+        s = s * scale
     s = s + bias_ref[0].astype(jnp.float32)  # (1, Tk) broadcasts over rows
     if causal:
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)

@@ -181,7 +181,7 @@ def make_train_step(
         unroll = int(os.environ.get("TTS_ACCUM_UNROLL", "1"))
         (acc_grads, new_stats), losses = jax.lax.scan(
             micro_step, (zero_grads, state.batch_stats), (batch, rngs),
-            unroll=unroll if k % unroll == 0 else 1,
+            unroll=unroll if unroll > 1 and k % unroll == 0 else 1,
         )
         grads = jax.tree.map(lambda g: g / k, acc_grads)
 
