@@ -84,3 +84,13 @@ def test_megakernel_padding_matches_xla():
         np.asarray(out["pred_melspec"]), np.asarray(ref["pred_melspec"]),
         atol=2e-4, rtol=1e-4,
     )
+
+
+def test_megakernel_forced_batch_guard():
+    cfg, model, variables, phoneme, lens = _setup()
+    phoneme2 = jnp.concatenate([phoneme, phoneme], axis=0)
+    lens2 = jnp.concatenate([lens, lens], axis=0)
+    fn = make_decode_fn(model, cfg, max_len=8, stop_threshold=2.0,
+                        use_megakernel=True)
+    with pytest.raises(ValueError, match="batch 1"):
+        fn(variables, phoneme2, lens2)

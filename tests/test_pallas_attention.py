@@ -133,3 +133,26 @@ def test_shape_sweep_parity(tq, tk, causal, seed):
     ref, _ = dot_product_attention(q, k, v, bias)
     out = flash_attention(q, k, v, kb, causal=causal, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_pick_block_irregular_length_respects_cap():
+    from transformertts_tpu.ops.pallas.flash_attention import _pick_block
+
+    bq = _pick_block(900, 900)
+    assert 900 % bq == 0 and bq * 900 <= 620_000
+    assert _pick_block(997, 997) * 997 <= 620_000 or _pick_block(997, 997) == 1
+    # regular bucketed lengths keep the full row
+    assert _pick_block(768, 768) == 768
+
+
+def test_non_pow2_scale_head_dim_parity():
+    """d_head=128 => scale 2^-3.5 is not a power of two — the fold must
+    stay off and parity must hold."""
+    rng = np.random.default_rng(7)
+    b, t, h, d = 2, 64, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    ref, _ = dot_product_attention(q, k, v, causal_bias(t))
+    out = flash_attention(q, k, v, None, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
