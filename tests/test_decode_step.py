@@ -86,11 +86,25 @@ def test_megakernel_padding_matches_xla():
     )
 
 
-def test_megakernel_forced_batch_guard():
-    cfg, model, variables, phoneme, lens = _setup()
-    phoneme2 = jnp.concatenate([phoneme, phoneme], axis=0)
-    lens2 = jnp.concatenate([lens, lens], axis=0)
-    fn = make_decode_fn(model, cfg, max_len=8, stop_threshold=2.0,
-                        use_megakernel=True)
-    with pytest.raises(ValueError, match="batch 1"):
-        fn(variables, phoneme2, lens2)
+@pytest.mark.parametrize("r", [1, 2])
+def test_batched_megakernel_matches_xla(r):
+    """Forced batched megakernel (B=2, ragged lengths) == XLA decode."""
+    cfg, model, variables, phoneme, lens = _setup(r)
+    rng = np.random.default_rng(3)
+    phoneme2 = jnp.concatenate(
+        [phoneme, jnp.asarray(rng.integers(1, 60, phoneme.shape), jnp.int32)],
+        axis=0)
+    lens2 = jnp.array([int(lens[0]), int(lens[0]) - 5], jnp.int32)
+    max_len = 8 * r
+    kwargs = dict(max_len=max_len, stop_threshold=2.0)
+    ref = make_decode_fn(model, cfg, use_megakernel=False, **kwargs)(
+        variables, phoneme2, lens2)
+    out = make_decode_fn(model, cfg, use_megakernel=True, **kwargs)(
+        variables, phoneme2, lens2)
+    assert out["pred_melspec"].shape[0] == 2
+    np.testing.assert_allclose(
+        np.asarray(out["pred_melspec"]), np.asarray(ref["pred_melspec"]),
+        atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_stop"]), np.asarray(ref["pred_stop"]),
+        atol=2e-4, rtol=1e-4)

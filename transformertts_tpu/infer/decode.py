@@ -75,7 +75,8 @@ def make_decode_fn(
     ``use_megakernel``: run each decoder step as ONE Pallas program
     (ops/pallas/decode_step.py) — the single-stream (batch 1) latency fast
     path.  None = auto: on for batch 1 on TPU when the weights+caches fit
-    VMEM (``cfg.runtime.use_pallas_decode_step``); True forces it (interpret
+    VMEM (``cfg.runtime.use_pallas_decode_step``); True forces it —
+    including the EXPERIMENTAL batched kernel for batch > 1 (interpret
     mode off-TPU, for tests); False keeps the XLA per-op loop.
     """
     max_len = max_len or cfg.runtime.infer_max_len
@@ -115,8 +116,14 @@ def make_decode_fn(
                 and b == 1
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1])
             )
-        elif mega and b != 1:
-            raise ValueError("decode-step megakernel supports batch 1 only")
+        if mega and b > 1:
+            # EXPERIMENTAL batched kernel — reachable only by forcing
+            # use_megakernel=True (the auto gate stays batch-1 until the
+            # leading-batch-dim dot_generals are benchmarked on hardware)
+            return _megakernel_decode_batched(
+                model, cfg, variables, bound, memory, cross_kv, cross_bias,
+                n_pos, max_len, stop_threshold, interpret=not on_tpu,
+            )
         if mega:
             return _megakernel_decode(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,
@@ -273,6 +280,91 @@ def _megakernel_decode(
             jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
         )
         return s2
+
+    final = jax.lax.while_loop(cond, body, init)
+    n_frames = final["t"] * r
+    pred = final["frames"][:, 1:, :]
+    post = bound.apply_postnet(pred).astype(jnp.float32)
+    return {
+        "pred_melspec": pred,
+        "post_melspec": post,
+        "pred_stop": final["stops"],
+        "n_frames": n_frames,
+        "n_frames_per_row": per_row_lengths(final["stops"], n_frames, stop_threshold),
+    }
+
+
+def _megakernel_decode_batched(
+    model, cfg, variables, bound, memory, cross_kv, cross_bias,
+    n_pos, max_len, stop_threshold, interpret,
+):
+    """Batched (B > 1) megakernel decode — forced-only until benchmarked.
+
+    Caches live in the kernel's (L, H, B, T, dh) layout; semantics match
+    the XLA loop (global all-rows stop vote, per-row lengths recovered
+    after)."""
+    from transformertts_tpu.models.modules import sinusoid_table
+    from transformertts_tpu.ops.pallas.decode_step import (
+        decode_step_batched,
+        pack_decode_weights,
+    )
+
+    n_mels = cfg.model.n_mels
+    r = cfg.model.reduction_factor
+    n_layers = cfg.model.decoder_n_layers
+    n_heads = cfg.model.decoder_n_head
+    d_head = cfg.model.d_model // n_heads
+    dtype = memory.dtype
+    b = memory.shape[0]
+
+    packed = pack_decode_weights(variables["params"], cfg, dtype=dtype)
+    alpha = variables["params"]["pe"]["alpha"].astype(jnp.float32)
+    pe_table = (
+        alpha * jnp.asarray(sinusoid_table(cfg.model.max_len, cfg.model.d_model))
+    ).astype(jnp.float32)
+    # (L, B, Tp, H, dh) -> (L, H, B, Tp, dh)
+    ck = jnp.stack([kv[0] for kv in cross_kv]).transpose(0, 3, 1, 2, 4)
+    cv = jnp.stack([kv[1] for kv in cross_kv]).transpose(0, 3, 1, 2, 4)
+    cbias = cross_bias[:, 0, 0, :].astype(jnp.float32)  # (B, Tp)
+
+    init = {
+        "t": jnp.zeros((), jnp.int32),
+        "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),
+        "stops": jnp.full((b, max_len), NEG_INF, jnp.float32),
+        "stopped": jnp.zeros((b,), bool),
+        "self_k": jnp.zeros((n_layers, n_heads, b, n_pos, d_head), dtype),
+        "self_v": jnp.zeros((n_layers, n_heads, b, n_pos, d_head), dtype),
+    }
+
+    def cond(s):
+        return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
+
+    def body(s):
+        t = s["t"]
+        frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
+        pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
+        y, k_new, v_new = decode_step_batched(
+            t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
+            packed, interpret=interpret,
+        )
+        mel_t = y[:, : n_mels * r].reshape(b, r, n_mels)
+        stop_t = y[:, n_mels * r :]
+        return {
+            "t": t + 1,
+            "frames": jax.lax.dynamic_update_slice(
+                s["frames"], mel_t, (0, t * r + 1, 0)
+            ),
+            "stops": jax.lax.dynamic_update_slice(s["stops"], stop_t, (0, t * r)),
+            "stopped": s["stopped"] | jnp.any(
+                jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
+            ),
+            "self_k": jax.lax.dynamic_update_slice(
+                s["self_k"], k_new[:, :, :, None, :], (0, 0, 0, t, 0)
+            ),
+            "self_v": jax.lax.dynamic_update_slice(
+                s["self_v"], v_new[:, :, :, None, :], (0, 0, 0, t, 0)
+            ),
+        }
 
     final = jax.lax.while_loop(cond, body, init)
     n_frames = final["t"] * r

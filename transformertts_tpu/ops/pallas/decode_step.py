@@ -20,8 +20,12 @@ Layout rules that make this lower on current Mosaic:
   reshapes (D, D) projections to (H, D, Dh) on the host (lane-dim slices
   at 64 alignment are rejected);
 - all matmuls keep operands in bf16 with fp32 accumulation;
-- batch is fixed to 1 (the single-stream latency path — batched decode
-  stays on the XLA path where large batches amortize dispatch anyway).
+- the default kernel is batch-1 (the single-stream latency path); an
+  EXPERIMENTAL batched variant (``decode_step_batched``, caches laid out
+  (L, H, B, T, dh), leading-batch-dim dot_generals) is reachable by
+  forcing ``use_megakernel=True`` — the auto gate stays batch-1 until the
+  batched lowering is benchmarked on hardware.  Large batches stay on the
+  XLA loop, which amortizes dispatch across rows.
 
 Numerics match DecoderLayer.cached_step (post-LN, fp32 softmax/LN) to
 bf16 tolerance; oracle equivalence is tested in tests/test_decode_step.py.
@@ -276,3 +280,145 @@ def decode_step_fits(cfg, n_pos: int, tp: int) -> bool:
     weights = L * (2 * D * F + 8 * D * D) + 4 * D * max(128, m.n_mels + 8)
     caches = 2 * L * H * (n_pos + tp) * dh_pad
     return (weights + caches) * 2 + 2 * 1024 * 1024 < 14 * 1024 * 1024
+
+
+# --------------------------------------------------------------- batched
+
+def _kernel_batched(
+    t_ref,
+    frame_ref, pe_ref, cross_bias_ref, kc_ref, vc_ref, ck_ref, cv_ref,
+    pw1, pb1, pw2, pb2,
+    sWq, sbq, sWk, sbk, sWv, sbv, sWo, sbo,
+    cWq, cbq, cWo, cbo,
+    W1, B1, W2, B2, ln_g, ln_b,
+    head_w, head_b,
+    y_ref, knew_ref, vnew_ref,
+    *, n_layers, n_heads, scale, dtype,
+):
+    """Batched (B, ...) variant: dense work runs as (B, D) matmuls, the
+    per-head attentions as leading-batch-dim dot_generals against
+    (B, T, dh) caches — no sublane slicing anywhere.  Caches are laid out
+    (L, H, B, T, dh) so per-(layer, head) reads stay leading-dim."""
+    t = t_ref[0]
+    n_pos = kc_ref.shape[3]
+    b = frame_ref.shape[0]
+
+    def bqk(q3, k3):  # (B, 1, dh) x (B, T, dh) -> (B, 1, T)
+        return jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bpv(p3, v3):  # (B, 1, T) x (B, T, dh) -> (B, 1, dh)
+        return jax.lax.dot_general(
+            p3, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    x = frame_ref[...].astype(dtype)
+    x = jnp.maximum(_dot(x, pw1[...]) + pb1[...].astype(jnp.float32), 0.0)
+    x = jnp.maximum(_dot(x.astype(dtype), pw2[...]) + pb2[...].astype(jnp.float32), 0.0)
+    x = (x + pe_ref[...].astype(jnp.float32)).astype(dtype)  # (B, D)
+
+    pos_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1, n_pos), 2) < t
+    )
+
+    for li in range(n_layers):
+        # ---- self-attention: cached prefix + current position, per head
+        resid = x.astype(jnp.float32)
+        o = jnp.zeros_like(resid)
+        for h in range(n_heads):
+            q = (_dot(x, sWq[li, h]) + sbq[li, h].astype(jnp.float32)) * scale
+            kn = _dot(x, sWk[li, h]) + sbk[li, h].astype(jnp.float32)
+            vn = _dot(x, sWv[li, h]) + sbv[li, h].astype(jnp.float32)
+            knew_ref[li, h] = kn.astype(knew_ref.dtype)
+            vnew_ref[li, h] = vn.astype(vnew_ref.dtype)
+            q3 = q.astype(dtype)[:, None, :]  # (B, 1, dh)
+            s = bqk(q3, kc_ref[li, h])  # (B, 1, n_pos) fp32
+            s = jnp.where(pos_mask, s, NEG_INF)
+            s_cur = jnp.sum(q * kn, axis=1, keepdims=True)  # (B, 1)
+            m = jnp.maximum(jnp.max(s, axis=2), s_cur)  # (B, 1)
+            e = jnp.exp(s - m[:, :, None])
+            e_cur = jnp.exp(s_cur - m)  # (B, 1)
+            denom = jnp.sum(e, axis=2) + e_cur  # (B, 1)
+            ctx = bpv(e.astype(dtype), vc_ref[li, h])[:, 0, :]  # (B, dh)
+            ctx = (ctx + e_cur * vn) / denom
+            o = o + _dot(ctx.astype(dtype), sWo[li, h])
+        o = o + sbo[li][...].astype(jnp.float32)
+        x32 = _layer_norm(resid + o, ln_g[li, 0], ln_b[li, 0])
+        x = x32.astype(dtype)
+
+        # ---- cross-attention over the encoder memory
+        resid = x32
+        o = jnp.zeros_like(resid)
+        for h in range(n_heads):
+            q = (_dot(x, cWq[li, h]) + cbq[li, h].astype(jnp.float32)) * scale
+            s = bqk(q.astype(dtype)[:, None, :], ck_ref[li, h])  # (B, 1, Tp)
+            s = s + cross_bias_ref[...].astype(jnp.float32)[:, None, :]
+            m = jnp.max(s, axis=2, keepdims=True)
+            e = jnp.exp(s - m)
+            ctx = bpv(e.astype(dtype), cv_ref[li, h])[:, 0, :]
+            ctx = ctx / jnp.sum(e, axis=2)
+            o = o + _dot(ctx.astype(dtype), cWo[li, h])
+        o = o + cbo[li][...].astype(jnp.float32)
+        x32 = _layer_norm(resid + o, ln_g[li, 1], ln_b[li, 1])
+        x = x32.astype(dtype)
+
+        # ---- FFN
+        h1 = jnp.maximum(_dot(x, W1[li]) + B1[li][...].astype(jnp.float32), 0.0)
+        h2 = _dot(h1.astype(dtype), W2[li]) + B2[li][...].astype(jnp.float32)
+        x32 = _layer_norm(x32 + h2, ln_g[li, 2], ln_b[li, 2])
+        x = x32.astype(dtype)
+
+    y = _dot(x, head_w[...]) + head_b[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def decode_step_batched(
+    t: jnp.ndarray,  # () int32
+    frame: jnp.ndarray,  # (B, n_mels)
+    pe_row: jnp.ndarray,  # (1, D)
+    cross_bias: jnp.ndarray,  # (B, Tp)
+    self_k: jnp.ndarray,  # (L, H, B, n_pos, dh)
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,  # (L, H, B, Tp, dh)
+    cross_v: jnp.ndarray,
+    packed: dict,
+    interpret: bool = False,
+):
+    """Batched decode step; returns (y (B, n_mels*r + r), k_new/v_new
+    (L, H, B, dh)).  EXPERIMENTAL: opt-in via use_megakernel=True — the
+    auto gate stays batch-1 until the leading-batch dot_generals are
+    benchmarked on hardware."""
+    L, H, b, n_pos, dh = self_k.shape
+    d_out = packed["head_w"].shape[1]
+    dtype = packed["pw1"].dtype
+    scale = dh ** -0.5
+
+    whole = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0,) * a.ndim)  # noqa: E731
+    data = [frame, pe_row, cross_bias, self_k, self_v, cross_k, cross_v]
+    weights = [packed[k] for k in _PACK_ORDER]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[whole(a) for a in data + weights],
+        out_specs=[
+            pl.BlockSpec((b, d_out), lambda i, *_: (0, 0)),
+            pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_batched, n_layers=L, n_heads=H, scale=scale, dtype=dtype
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((L, H, b, dh), self_k.dtype),
+            jax.ShapeDtypeStruct((L, H, b, dh), self_v.dtype),
+        ],
+        interpret=interpret,
+    )(t.reshape(1), frame, pe_row, cross_bias, self_k, self_v, cross_k,
+      cross_v, *weights)
