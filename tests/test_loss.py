@@ -125,3 +125,49 @@ def test_diagonality_metric():
     uniform = jnp.full((1, 1, 1, TM, TP), 1.0 / TP)
     d_u = float(alignment_diagonality(uniform, lens, lens))
     assert d_u < 0.6
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_tts_loss_matches_torch_fuzz(seed):
+    """Random shapes, lengths (incl. length-1 and full-length rows), and
+    loss weights must all match the torch re-derivation."""
+    rng = np.random.default_rng(seed)
+    b = int(rng.integers(1, 6))
+    t = int(rng.integers(2, 40))
+    c = int(rng.integers(1, 12))
+    stop_w = float(rng.uniform(0.5, 12.0))
+    post_w = float(rng.uniform(0.1, 1.0))
+    g = torch.Generator().manual_seed(seed)
+    pred = torch.randn(b, t, c, generator=g)
+    post = torch.randn(b, t, c, generator=g)
+    stop = torch.randn(b, t, generator=g)
+    mel = torch.randn(b, t, c, generator=g)
+    lengths = torch.tensor(
+        [int(x) for x in rng.integers(1, t + 1, size=b)], dtype=torch.long)
+    lengths[0] = t  # always one full-length row
+
+    seq_range = torch.arange(t)[None, :].expand(b, t)
+    mask = seq_range < lengths[:, None]
+    gate = seq_range == (lengths[:, None] - 1)
+    pred_mel = F.mse_loss(pred[mask].view(-1, c), mel[mask].view(-1, c))
+    post_mel = F.mse_loss(post[mask].view(-1, c), mel[mask].view(-1, c))
+    stop_l = F.binary_cross_entropy_with_logits(
+        stop[mask], gate.float()[mask], reduction="mean",
+        pos_weight=torch.tensor(stop_w))
+    ref_total = pred_mel + post_w * post_mel + stop_l
+
+    out = tts_loss(
+        {
+            "pred_melspec": jnp.asarray(pred.numpy()),
+            "post_melspec": jnp.asarray(post.numpy()),
+            "pred_stop": jnp.asarray(stop.numpy()),
+        },
+        jnp.asarray(mel.numpy()),
+        jnp.asarray(lengths.numpy()),
+        stop_weight=stop_w,
+        post_mel_weight=post_w,
+    )
+    assert abs(float(out["pred_mel"]) - float(pred_mel)) < 1e-5
+    assert abs(float(out["post_mel"]) - float(post_mel)) < 1e-5
+    assert abs(float(out["stop"]) - float(stop_l)) < 1e-5
+    assert abs(float(out["total"]) - float(ref_total)) < 1e-5
