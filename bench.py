@@ -49,7 +49,39 @@ def synthetic_epoch_batch(rng, k, b):
     }
 
 
+def wait_for_backend(max_wait_s: int = 1800, probe_timeout_s: int = 120):
+    """Wait for the TPU tunnel to answer before initializing in-process.
+
+    The axon relay has been observed down for extended stretches
+    (PERF.md/memory); jax caches a failed backend for the process
+    lifetime, so probe in a SUBPROCESS and only proceed once a probe
+    succeeds.  Falls through after max_wait_s (the in-process init then
+    reports the real error)."""
+    import subprocess
+    import sys as _sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=probe_timeout_s, text=True,
+            )
+            if out.returncode == 0:
+                if attempt > 1:
+                    print(f"backend up after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {attempt} failed; retrying...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     import jax
 
     from transformertts_tpu.utils.compile_cache import enable_compile_cache

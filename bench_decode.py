@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from bench import wait_for_backend
+
+    wait_for_backend()
     import jax
 
     from transformertts_tpu.utils.compile_cache import enable_compile_cache
