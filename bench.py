@@ -9,6 +9,19 @@ on synthetic LJSpeech-length-distributed data.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
 
+Robustness contract (round-2 rework after BENCH_r01 rc=124/parsed:null):
+the driver runs this under a hard timeout while the axon TPU tunnel can be
+down for hours.  This script therefore
+  1. budgets everything against BENCH_DEADLINE_S (default 1500 s) of its own,
+  2. installs SIGTERM/SIGALRM backstops that print the best JSON line
+     obtained so far (or a clearly-labelled replay of the last successful
+     on-chip measurement from bench_last_good.json) before dying,
+  3. probes the backend with SHORT subprocess probes and falls back to the
+     replay line instead of waiting out an outage,
+  4. emits after ONE timed window if the deadline is near (more windows only
+     when time allows), and
+  5. persists every fresh on-chip measurement to bench_last_good.json.
+
 Baseline: the reference publishes no numbers (BASELINE.md).  We use an
 analytic estimate of its RTX-4060 throughput: ~420 GFLOP per effective
 optimizer step (fwd+bwd+no-grad fwd at batch 16, avg 568 mel frames /
@@ -21,17 +34,81 @@ bench_details.json.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 350.0
+T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last_good.json")
 
 # LJSpeech stats: 13,100 clips / ~24 h -> mean 6.57 s -> 566 mel frames @
 # hop 256 / 22.05 kHz; transcript ~ 95 phonemes
 MEL_MEAN, MEL_STD, MEL_BUCKET = 566, 120, 768
 PHON_MEAN, PHON_STD, PHON_BUCKET = 95, 25, 128
+
+_best_result: dict | None = None  # best fresh measurement so far
+_emitted = False
+
+
+def remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - T0)
+
+
+def _emit(result: dict) -> None:
+    """Print the one JSON line exactly once and flush hard."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+def _fallback_result(why: str) -> dict:
+    """Replay the last successful on-chip measurement, clearly labelled."""
+    try:
+        with open(LAST_GOOD) as f:
+            prev = json.load(f)
+        return {
+            "metric": prev["metric"] + " [REPLAY of last on-chip run: " + why + "]",
+            "value": prev["value"],
+            "unit": prev["unit"],
+            "vs_baseline": prev["vs_baseline"],
+            "note": f"replayed from bench_last_good.json ({prev.get('recorded', '?')}); {why}",
+        }
+    except Exception:
+        return {
+            "metric": "LJSpeech train throughput per chip (batch 16 x accum 4, scheduled sampling)",
+            "value": 0.0,
+            "unit": "audio-s/s",
+            "vs_baseline": 0.0,
+            "note": f"no measurement possible and no last-good record: {why}",
+        }
+
+
+def _emit_best_and_exit(why: str) -> None:
+    if _best_result is not None:
+        _emit(_best_result)
+    else:
+        _emit(_fallback_result(why))
+    os._exit(0)
+
+
+def _signal_backstop(signum, frame):  # noqa: ARG001
+    _emit_best_and_exit(f"interrupted by signal {signum}")
+
+
+signal.signal(signal.SIGTERM, _signal_backstop)
+signal.signal(signal.SIGINT, _signal_backstop)
+signal.signal(signal.SIGALRM, _signal_backstop)
+# absolute backstop: fire our own alarm before the driver's timeout would
+signal.alarm(max(60, int(DEADLINE_S - 30)))
 
 
 def synthetic_epoch_batch(rng, k, b):
@@ -49,39 +126,44 @@ def synthetic_epoch_batch(rng, k, b):
     }
 
 
-def wait_for_backend(max_wait_s: int = 1800, probe_timeout_s: int = 120):
-    """Wait for the TPU tunnel to answer before initializing in-process.
+def wait_for_backend() -> bool:
+    """Probe the TPU tunnel with SHORT subprocess probes.
 
-    The axon relay has been observed down for extended stretches
-    (PERF.md/memory); jax caches a failed backend for the process
-    lifetime, so probe in a SUBPROCESS and only proceed once a probe
-    succeeds.  Falls through after max_wait_s (the in-process init then
-    reports the real error)."""
+    jax caches a failed backend for the process lifetime, so probe in a
+    subprocess and only init in-process once a probe succeeds.  Returns
+    False (-> replay fallback) instead of waiting out a multi-hour outage:
+    probing stops when either ~7 min of probing has elapsed or less than
+    8 min of deadline would remain for measurement."""
     import subprocess
-    import sys as _sys
 
-    deadline = time.monotonic() + max_wait_s
+    probe_budget = min(420.0, remaining() - 480.0)
+    probe_deadline = time.monotonic() + max(probe_budget, 0.0)
     attempt = 0
-    while time.monotonic() < deadline:
+    while time.monotonic() < probe_deadline:
         attempt += 1
         try:
             out = subprocess.run(
-                [_sys.executable, "-c",
+                [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, timeout=probe_timeout_s, text=True,
+                capture_output=True, timeout=60, text=True,
             )
             if out.returncode == 0:
-                if attempt > 1:
-                    print(f"backend up after {attempt} probes", file=sys.stderr)
-                return
+                print(f"backend up (probe {attempt}): {out.stdout.strip()}",
+                      file=sys.stderr)
+                return True
         except subprocess.TimeoutExpired:
             pass
         print(f"backend probe {attempt} failed; retrying...", file=sys.stderr)
-        time.sleep(60)
+        time.sleep(20)
+    return False
 
 
 def main():
-    wait_for_backend()
+    global _best_result
+
+    if not wait_for_backend():
+        _emit_best_and_exit("TPU tunnel unavailable during probe window")
+
     import jax
 
     from transformertts_tpu.utils.compile_cache import enable_compile_cache
@@ -125,7 +207,8 @@ def main():
     t0 = time.perf_counter()
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), tiny)
     state = shard_state(state, mesh)
-    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"init: {time.perf_counter() - t0:.1f}s | {remaining():.0f}s left",
+          file=sys.stderr)
     step = make_train_step(model, cfg, scheduled_sampling=scheduled_sampling, donate=True)
 
     audio_sec_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
@@ -133,20 +216,28 @@ def main():
 
     with mesh:
         sharded = shard_batch(batch, mesh)
-        # compile + saturate the async dispatch queue so the timed window
-        # measures execution, not dispatch (the axon relay acks dispatches
-        # long before execution completes)
+        # compile (persistent-cache hit when warm) + saturate the async
+        # dispatch queue so the timed window measures execution, not
+        # dispatch (the axon relay acks dispatches long before execution)
         t0 = time.perf_counter()
-        for i in range(15):
+        state, metrics = step(state, sharded, 0.8, key)
+        _ = float(jax.device_get(metrics["total"]))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _i in range(6):
             state, metrics = step(state, sharded, 0.8, key)
         _ = float(jax.device_get(metrics["total"]))  # forced readback
-        compile_and_warmup = time.perf_counter() - t0
-        print(f"compile+warmup: {compile_and_warmup:.1f}s", file=sys.stderr)
+        warmup_s = time.perf_counter() - t0
+        est_step_s = warmup_s / 6
+        print(f"compile: {compile_s:.1f}s warmup: {warmup_s:.1f}s "
+              f"(~{est_step_s * 1000:.0f} ms/step) | {remaining():.0f}s left",
+              file=sys.stderr)
 
-        # the tunnel adds noisy per-call latency; take the best of three
-        # timed windows (steps are identical work, so max throughput ==
-        # least-perturbed measurement)
-        n_steps = 40
+        # the tunnel adds noisy per-call latency; take the best of up to
+        # three timed windows (identical work per step, so max throughput
+        # == least-perturbed measurement).  Deadline-aware: size the window
+        # to fit, emit after however many windows complete.
+        n_steps = max(8, min(40, int((remaining() * 0.25) / max(est_step_s, 1e-3))))
         batches = [synthetic_epoch_batch(rng, k, b) for _ in range(4)]
         shardeds = [shard_batch(x, mesh) for x in batches]
         audio_per_window = sum(
@@ -154,15 +245,32 @@ def main():
             for i in range(n_steps)
         )
         window_times = []
-        for _ in range(3):
+        for w in range(3):
+            need = n_steps * est_step_s * 1.6 + 20.0
+            if w > 0 and remaining() < need:
+                print(f"skipping window {w + 1}: {remaining():.0f}s left < {need:.0f}s",
+                      file=sys.stderr)
+                break
             t0 = time.perf_counter()
             for i in range(n_steps):
                 state, metrics = step(state, shardeds[i % len(shardeds)], 0.8, key)
             _ = float(jax.device_get(metrics["total"]))  # forces completion
             window_times.append(time.perf_counter() - t0)
+            est_step_s = min(est_step_s, window_times[-1] / n_steps)
+
+            # keep the best-so-far result ready for the signal backstop
+            elapsed = min(window_times)
+            value = audio_per_window / elapsed / n_dev
+            _best_result = {
+                "metric": "LJSpeech train throughput per chip (batch 16 x accum 4, scheduled sampling)",
+                "value": round(value, 2),
+                "unit": "audio-s/s",
+                "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+            }
         elapsed = min(window_times)
         audio_seconds = audio_per_window
-        print(f"windows: {[round(w, 2) for w in window_times]}s", file=sys.stderr)
+        print(f"windows ({n_steps} steps each): {[round(w, 2) for w in window_times]}s",
+              file=sys.stderr)
 
     value = audio_seconds / elapsed / n_dev
     details = {
@@ -171,7 +279,10 @@ def main():
         "steps_per_s": n_steps / elapsed,
         "step_time_ms": elapsed / n_steps * 1000,
         "audio_s_per_step": audio_seconds / n_steps,
-        "compile_warmup_s": compile_and_warmup,
+        "compile_s": compile_s,
+        "warmup_s": warmup_s,
+        "n_windows": len(window_times),
+        "steps_per_window": n_steps,
         "effective_batch": k * b,
         "loss_final": float(jax.device_get(metrics["total"])),
         "baseline_estimate_audio_s_per_s": BASELINE_AUDIO_S_PER_S,
@@ -179,13 +290,25 @@ def main():
     }
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
-    print(json.dumps({
+    result = {
         "metric": "LJSpeech train throughput per chip (batch 16 x accum 4, scheduled sampling)",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
-    }))
+    }
+    if dev.platform != "cpu":
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump({**result, "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+                           "details": details}, f, indent=2)
+        except Exception:
+            pass
+    _emit(result)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # emit something rather than dying silently
+        print(f"bench error: {type(e).__name__}: {e}", file=sys.stderr)
+        _emit_best_and_exit(f"error: {type(e).__name__}")
