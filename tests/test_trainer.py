@@ -57,6 +57,15 @@ def test_plots_written(trained):
         assert files, sub
 
 
+def test_scheduled_sampling_plots_written_at_train_time(trained):
+    """The reference dumps plot_mels_scheduled from the ACTUAL training batch
+    every log_interval (ref: lightning_module.py:82); epoch 1 runs with
+    p_tf < 1 and log_interval=1, so train-time dumps must exist."""
+    _, exp, _, _ = trained
+    files = list((exp / "run1" / "mels_scheduled").glob("epoch_0001_step_*.png"))
+    assert files
+
+
 def test_checkpoint_and_resume(trained):
     cfg, exp, trainer, _ = trained
     mgr = CheckpointManager(exp / "run1" / "checkpoints")

@@ -143,7 +143,7 @@ def _micro_loss(
         return total, (losses, upd["batch_stats"])
 
     grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
-    return grads, losses, new_stats
+    return grads, losses, new_stats, target_in
 
 
 def make_train_step(
@@ -152,12 +152,20 @@ def make_train_step(
     optimizer=None,
     scheduled_sampling: bool = True,
     donate: bool = True,
+    return_mixed_inputs: bool = False,
 ) -> Callable:
     """Returns jitted fn(state, batch, p_tf, rng) -> (state, metrics).
 
     ``batch`` arrays carry a leading ``grad_acc_steps`` axis:
     phoneme (K, B, T_p) int32; melspec (K, B, T_m, n_mels) float32;
     phoneme_lens/melspec_lens (K, B) int32.
+
+    ``return_mixed_inputs=True`` additionally returns the scheduled-sampling
+    mixed decoder inputs of the FIRST micro-batch, (B, T_m, n_mels), so the
+    trainer can dump the reference's train-time ``plot_mels_scheduled``
+    from the actual training batch (ref: lightning_module.py:82) — the
+    array is already computed inside the step; the host transfer only
+    happens when the trainer device_gets it at log_interval.
     """
     optimizer = optimizer or make_optimizer(cfg)
 
@@ -168,18 +176,19 @@ def make_train_step(
         def micro_step(carry, xs):
             acc_grads, batch_stats = carry
             micro_batch, micro_rng = xs
-            grads, losses, batch_stats = _micro_loss(
+            grads, losses, batch_stats, target_in = _micro_loss(
                 model, cfg, state.params, batch_stats, micro_batch, p_tf,
                 micro_rng, scheduled_sampling,
             )
             acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-            return (acc_grads, batch_stats), losses
+            ys = (losses, target_in) if return_mixed_inputs else (losses, None)
+            return (acc_grads, batch_stats), ys
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         import os
 
         unroll = int(os.environ.get("TTS_ACCUM_UNROLL", "1"))
-        (acc_grads, new_stats), losses = jax.lax.scan(
+        (acc_grads, new_stats), (losses, mixed) = jax.lax.scan(
             micro_step, (zero_grads, state.batch_stats), (batch, rngs),
             unroll=unroll if unroll > 1 and k % unroll == 0 else 1,
         )
@@ -207,6 +216,8 @@ def make_train_step(
             batch_stats=keep(new_stats, state.batch_stats),
             opt_state=keep(new_opt_state, state.opt_state),
         )
+        if return_mixed_inputs:
+            return new_state, metrics, mixed[0]
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -60,7 +60,9 @@ class Trainer:
 
         self._build_data()
         self._build_state(resume)
-        self.train_step_ss = make_train_step(self.model, cfg, scheduled_sampling=True)
+        self.train_step_ss = make_train_step(
+            self.model, cfg, scheduled_sampling=True, return_mixed_inputs=True
+        )
         self.train_step_tf = make_train_step(self.model, cfg, scheduled_sampling=False)
         self.eval_step = make_eval_step(self.model, cfg, with_outputs=True)
         self.decode = make_decode_fn(self.model, cfg)
@@ -137,7 +139,10 @@ class Trainer:
                     profiling = True
                 audio_seconds += float(batch["melspec_lens"].sum()) * self.audio_sec_per_frame
                 sharded = shard_batch(batch, self.mesh)
-                self.state, metrics = step_fn(self.state, sharded, p_tf, rng)
+                if use_ss:
+                    self.state, metrics, mixed = step_fn(self.state, sharded, p_tf, rng)
+                else:
+                    self.state, metrics = step_fn(self.state, sharded, p_tf, rng)
                 n_steps += 1
                 if profiling and n_steps >= 1 + profile_steps:
                     jax.block_until_ready(metrics["total"])
@@ -151,6 +156,16 @@ class Trainer:
                         self.log, epoch, step_now, metrics,
                         float(self.noam(step_now)), audio_seconds / elapsed,
                     )
+                    # train-time scheduled-sampling dump from the ACTUAL
+                    # mixed batch (ref: lightning_module.py:82 writes
+                    # plot_mels_scheduled every log_interval train batches)
+                    if use_ss and jax.process_index() == 0:
+                        plots.plot_mels_scheduled(
+                            jax.device_get(mixed), batch["melspec"][0],
+                            batch["melspec_lens"][0],
+                            self.exp_dir / "mels_scheduled"
+                            / f"epoch_{epoch:04d}_step_{step_now:06d}.png",
+                        )
                 for name, val in jax.device_get(metrics).items():
                     totals[name] = totals.get(name, 0.0) + float(val)
 
@@ -214,31 +229,6 @@ class Trainer:
             out["alignments"], batch["melspec_lens"][0], batch["phoneme_lens"][0],
             e / "align_single" / f"epoch_{epoch:04d}.png",
         )
-        # scheduled-sampling mixed-input visualization (ref plots the actual
-        # training inputs every log_interval; here: reproduce the mix from
-        # this batch's predictions at the current epoch's p_tf)
-        p_tf = teacher_forcing_ratio(
-            epoch, self.cfg.training.num_epochs,
-            self.cfg.training.teacher_forcing_mode,
-            self.cfg.training.teacher_forcing_warmup_epochs,
-        )
-        if p_tf < 1.0:
-            import jax.numpy as jnp
-
-            from transformertts_tpu.train.sampling import apply_teacher_forcing
-
-            mixed = apply_teacher_forcing(
-                jax.random.PRNGKey(epoch),
-                jnp.asarray(out["pred_melspec"]),
-                jnp.asarray(batch["melspec"]),
-                jnp.asarray(batch["melspec_lens"]),
-                p_tf,
-                self.cfg.training.scheduled_sampling_block,
-            )
-            plots.plot_mels_scheduled(
-                jax.device_get(mixed), batch["melspec"], batch["melspec_lens"],
-                e / "mels_scheduled" / f"epoch_{epoch:04d}.png",
-            )
 
     def _free_running_plot(self, epoch: int):
         """Run inference on one cached val sample (ref: lightning_module.py:146-157)."""
