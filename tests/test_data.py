@@ -188,3 +188,24 @@ def test_partial_group_rows_masked(corpus):
     assert n_valid == 8  # every real item counted exactly once
     # at least one batch has a masked row
     assert any(int((b["melspec_lens"][0] == 0).sum()) > 0 for b in batches)
+
+
+def test_device_batched_preprocess_matches_numpy(corpus, tmp_path):
+    """runtime.use_pallas_mel=True routes preprocessing through the BATCHED
+    on-device extraction (_device_mels: per-clip host reflect pad +
+    zero-extension to quantized buckets + one fused kernel call per chunk,
+    XLA rFFT off-TPU); outputs must match the per-clip numpy path with
+    exact frame counts."""
+    root, out, cfg = corpus
+    import dataclasses
+
+    cfg2 = cfg.replace(
+        path=dataclasses.replace(cfg.path, preprocessed=str(tmp_path / "dev")),
+        runtime=dataclasses.replace(cfg.runtime, use_pallas_mel=True),
+    )
+    preprocess(cfg2)
+    for f in sorted(Path(out).glob("*.npz")):
+        a = np.load(f)
+        b = np.load(tmp_path / "dev" / f.name)
+        assert a["melspec"].shape == b["melspec"].shape, f.name
+        np.testing.assert_allclose(a["melspec"], b["melspec"], atol=2e-4)

@@ -41,3 +41,38 @@ def test_sine_tone():
     ref = mel_spectrogram_np(y, **KW)
     # peak mel band identical
     assert out.mean(1).argmax() == ref.mean(1).argmax()
+
+
+def test_center_false_matches_host_prepad():
+    """center=False over a host reflect-padded, zero-extended signal must
+    reproduce the center=True result exactly for the true frame count (the
+    batched-preprocess contract)."""
+    rng = np.random.default_rng(3)
+    n = 22050 + 777
+    y = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    ref = np.asarray(log_mel_pallas(jnp.asarray(y), interpret=True, **KW))
+
+    pad = KW["n_fft"] // 2
+    bucket = 32768
+    padded = np.zeros(bucket, np.float32)
+    padded[: n + 2 * pad] = np.pad(y, pad, mode="reflect")
+    out = np.asarray(
+        log_mel_pallas(jnp.asarray(padded), interpret=True, center=False, **KW)
+    )
+    n_frames = 1 + n // KW["hop_length"]
+    np.testing.assert_allclose(out[:, :n_frames], ref, atol=1e-4)
+
+
+def test_center_false_jax_path():
+    from transformertts_tpu.dsp import mel_spectrogram_jax
+
+    rng = np.random.default_rng(4)
+    n = 22050
+    y = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    ref = np.asarray(mel_spectrogram_jax(jnp.asarray(y), **KW))
+    pad = KW["n_fft"] // 2
+    padded = np.zeros(n + 2 * pad + 999, np.float32)
+    padded[: n + 2 * pad] = np.pad(y, pad, mode="reflect")
+    out = np.asarray(mel_spectrogram_jax(jnp.asarray(padded), center=False, **KW))
+    n_frames = 1 + n // KW["hop_length"]
+    np.testing.assert_allclose(out[:, :n_frames], ref, atol=1e-4)

@@ -132,7 +132,10 @@ class RuntimeConfig:
 
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay float32
     use_pallas_attention: bool = True  # flash-attention Pallas kernel path
-    use_pallas_mel: bool = False  # fused STFT+mel Pallas kernel
+    # batched on-device mel extraction in preprocessing (fused Pallas
+    # STFT->mel kernel on TPU, XLA rFFT elsewhere); False = per-clip host
+    # numpy (the reference's shape, preprocess.py:96-100)
+    use_pallas_mel: bool = False
     # fused residual+dropout+LayerNorm kernel for the transformer sublayers
     # (ops/pallas/fused_ln.py); auto-disabled unless d_model % 128 == 0.
     # measured: 9556 -> 10272 audio-s/s on one v5e (same-session windows)

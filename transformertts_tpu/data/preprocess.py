@@ -48,33 +48,89 @@ def _mel_for(audio_id: str, cfg: Config) -> np.ndarray:
     wav_path = Path(cfg.path.data) / "wavs" / f"{audio_id}.wav"
     y, _ = load_wav(wav_path, cfg.audio.sample_rate)
     a = cfg.audio
-    if cfg.runtime.use_pallas_mel:
-        # device path: fused Pallas STFT->mel kernel (interpret on CPU)
-        import jax
-
-        from transformertts_tpu.ops.pallas.stft import log_mel_pallas
-
-        return np.asarray(
-            log_mel_pallas(
-                jax.numpy.asarray(y), a.sample_rate, a.n_fft, a.hop_length,
-                a.win_length, a.fmin, a.fmax, a.n_mels,
-                interpret=jax.default_backend() != "tpu",
-            )
-        )
     return mel_spectrogram_np(
         y, a.sample_rate, a.n_fft, a.hop_length, a.win_length, a.fmin, a.fmax, a.n_mels
     )
 
 
+# bucket granularity for the batched device path: wavs are zero-extended to
+# the next multiple of this, so each (batch, padded-len) shape compiles once
+_DEVICE_MEL_BATCH = 32
+_DEVICE_LEN_QUANTUM = 32768  # ~1.5 s of 22.05 kHz audio
+
+
+def _device_mels(ids: list[str], cfg: Config):
+    """Yield (audio_id, log-mel) via BATCHED on-device extraction.
+
+    TPU redesign of the reference's one-clip-at-a-time librosa loop
+    (ref: preprocess.py:96-100): clips are sorted by length, reflect-padded
+    individually on the host (so the final frames see the true signal, not
+    a batch zero-extension), zero-extended to a quantized bucket length,
+    and processed _DEVICE_MEL_BATCH at a time by the fused Pallas
+    STFT->mel kernel (XLA rFFT path off-TPU).  Frame counts are exact:
+    each result is sliced to the clip's true 1 + n // hop frames.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from transformertts_tpu.ops.pallas.stft import log_mel_pallas
+
+    a = cfg.audio
+    pad = a.n_fft // 2
+    on_tpu = jax.default_backend() == "tpu"
+
+    loaded: list[tuple[str, np.ndarray]] = []
+    for audio_id in ids:
+        y, _ = load_wav(Path(cfg.path.data) / "wavs" / f"{audio_id}.wav",
+                        a.sample_rate)
+        loaded.append((audio_id, y))
+    loaded.sort(key=lambda t: len(t[1]))
+
+    for i in range(0, len(loaded), _DEVICE_MEL_BATCH):
+        chunk = loaded[i:i + _DEVICE_MEL_BATCH]
+        max_len = max(len(y) for _, y in chunk) + 2 * pad
+        bucket = -(-max_len // _DEVICE_LEN_QUANTUM) * _DEVICE_LEN_QUANTUM
+        batch = np.zeros((len(chunk), bucket), np.float32)
+        for j, (_, y) in enumerate(chunk):
+            batch[j, : len(y) + 2 * pad] = np.pad(y, pad, mode="reflect")
+        if on_tpu:
+            mels = np.asarray(
+                log_mel_pallas(
+                    jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
+                    a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+                )
+            )
+        else:  # XLA rFFT path — interpret-mode Pallas would be far slower
+            from transformertts_tpu.dsp import mel_spectrogram_jax
+
+            mels = np.asarray(
+                mel_spectrogram_jax(
+                    jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
+                    a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+                )
+            )
+        for j, (audio_id, y) in enumerate(chunk):
+            n_frames = 1 + len(y) // a.hop_length
+            yield audio_id, mels[j, :, :n_frames]
+
+
+def _mels_iter(ids: list[str], cfg: Config):
+    """(audio_id, mel) pairs via the configured extraction path, with the
+    reference's per-utterance error tolerance (ref: preprocess.py:97-100)."""
+    if cfg.runtime.use_pallas_mel:
+        yield from _device_mels(ids, cfg)
+        return
+    for audio_id in ids:
+        try:
+            yield audio_id, _mel_for(audio_id, cfg)
+        except Exception as e:  # noqa: BLE001
+            log.warning("mel: skipping %s: %s", audio_id, e)
+
+
 def compute_global_stats(transcripts: dict[str, str], cfg: Config, out_dir: Path):
     """Streamed corpus mean/std (ref: preprocess.py:45-72)."""
     total, sq_total, count = 0.0, 0.0, 0
-    for audio_id in transcripts:
-        try:
-            mel = _mel_for(audio_id, cfg)
-        except Exception as e:  # noqa: BLE001
-            log.warning("stats: skipping %s: %s", audio_id, e)
-            continue
+    for _audio_id, mel in _mels_iter(list(transcripts), cfg):
         count += mel.size
         total += float(mel.sum())
         sq_total += float((mel.astype(np.float64) ** 2).sum())
@@ -87,9 +143,11 @@ def compute_global_stats(transcripts: dict[str, str], cfg: Config, out_dir: Path
     return mean, std
 
 
-def process_and_save(audio_id, transcript, g2p, cfg, out_dir: Path, mean, std):
+def process_and_save(audio_id, transcript, g2p, cfg, out_dir: Path, mean, std,
+                     mel: np.ndarray | None = None):
     phoneme, sequence = phonemize(transcript, g2p)
-    mel = _mel_for(audio_id, cfg)
+    if mel is None:
+        mel = _mel_for(audio_id, cfg)
     if mean is not None and std is not None:
         mel = normalize_mel(mel, mean, std)
     np.savez(
@@ -121,14 +179,17 @@ def preprocess(cfg: Config) -> None:
     if cfg.audio.normalize_mel:
         mean, std = compute_global_stats(transcripts, cfg, out_dir)
 
-    n_err = 0
-    for audio_id, transcript in transcripts.items():
+    n_done = 0
+    for audio_id, mel in _mels_iter(list(transcripts), cfg):
         try:
-            process_and_save(audio_id, transcript, g2p, cfg, out_dir, mean, std)
+            process_and_save(
+                audio_id, transcripts[audio_id], g2p, cfg, out_dir, mean, std,
+                mel=mel,
+            )
+            n_done += 1
         except Exception as e:  # noqa: BLE001
-            n_err += 1
             log.warning("Error processing %s: %s", audio_id, e)
-    log.info("Preprocessing done (%d errors)", n_err)
+    log.info("Preprocessing done (%d errors)", len(transcripts) - n_done)
 
 
 def main(argv=None):

@@ -128,7 +128,7 @@ def mel_spectrogram_np(
     return dynamic_range_compression(basis @ S)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "sample_rate", "fmin", "fmax", "n_mels"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "sample_rate", "fmin", "fmax", "n_mels", "center"))
 def mel_spectrogram_jax(
     y: jax.Array,
     sample_rate: int = 22050,
@@ -138,23 +138,33 @@ def mel_spectrogram_jax(
     fmin: float = 0.0,
     fmax: float = 8000.0,
     n_mels: int = 80,
+    center: bool = True,
 ) -> jax.Array:
     """On-device batched log-mel. y: (..., n_samples) -> (..., n_mels, frames).
 
     Framing is a static gather; the mel projection is one MXU matmul.
+    ``center=False`` treats y as already padded (frames read y directly) —
+    used by the batched variable-length preprocessing path, where each clip
+    is reflect-padded individually on the host before zero-extension to the
+    bucket length (a shared device-side reflect pad would reflect the zero
+    extension instead of the signal for the final frames).
     """
-    pad = n_fft // 2
     batch_shape = y.shape[:-1]
     n = y.shape[-1]
     y2 = y.reshape((-1, n))
-    y_pad = jnp.pad(y2, ((0, 0), (pad, pad)), mode="reflect")
+    if center:
+        pad = n_fft // 2
+        y_pad = jnp.pad(y2, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = _frame_count(n, hop_length)
+    else:
+        y_pad = y2
+        n_frames = 1 + (n - n_fft) // hop_length
 
     window = jnp.asarray(hann_window(win_length))
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
 
-    n_frames = _frame_count(n, hop_length)
     idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
     frames = y_pad[:, idx] * window[None, None, :]  # (B, frames, n_fft)
 

@@ -68,22 +68,30 @@ def log_mel_pallas(
     n_mels: int = 80,
     block: int = 128,
     interpret: bool = False,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Log-mel via the fused kernel. Returns (..., n_mels, n_frames) like
-    the reference layout (audio.py:48-51)."""
+    the reference layout (audio.py:48-51).
+
+    ``center=False``: y is already padded; frames read it directly (see
+    mel_spectrogram_jax — used for batched variable-length extraction)."""
     squeeze = y.ndim == 1
     if squeeze:
         y = y[None]
     b, n = y.shape
 
-    pad = n_fft // 2
-    y_pad = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     window = jnp.asarray(hann_window(win_length))
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
 
-    n_frames = 1 + n // hop_length
+    if center:
+        pad = n_fft // 2
+        y_pad = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = 1 + n // hop_length
+    else:
+        y_pad = y
+        n_frames = 1 + (n - n_fft) // hop_length
     n_frames_pad = _round_up(n_frames, block)
     idx = jnp.arange(n_frames_pad)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
     idx = jnp.minimum(idx, y_pad.shape[1] - 1)  # clamp the padding frames
