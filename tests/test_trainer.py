@@ -45,7 +45,8 @@ def test_history_written(trained):
     _, exp, _, _ = trained
     hist = json.loads((exp / "run1" / "history.json").read_text())
     assert len(hist) == 2
-    assert {"epoch", "total", "val_loss", "audio_s_per_s", "p_tf"} <= set(hist[0])
+    assert {"epoch", "total", "val_loss", "audio_s_per_s", "p_tf",
+            "val_free_mel_l1", "val_free_mcd", "val_free_len_ratio"} <= set(hist[0])
     assert hist[1]["p_tf"] < 1.0  # linear decay kicks in after epoch 0
     assert hist[0]["audio_s_per_s"] > 0
 

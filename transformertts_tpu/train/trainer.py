@@ -207,12 +207,15 @@ class Trainer:
                     self._plot_validation(epoch, micro, jax.device_get(out))
                     first = False
         avg = {name: v / max(n, 1) for name, v in totals.items()}
+        avg.update(self._free_running_eval(epoch))
         self.log.info(
-            "epoch %d val: loss %.4f | mel_l1 %.4f | diagonality %.3f",
+            "epoch %d val: loss %.4f | mel_l1 %.4f | diagonality %.3f | "
+            "free mel_l1 %.4f mcd %.2f len %.2f",
             epoch, avg.get("total", float("nan")), avg.get("mel_l1", float("nan")),
             avg.get("diagonality", float("nan")),
+            avg.get("free_mel_l1", float("nan")), avg.get("free_mcd", float("nan")),
+            avg.get("free_len_ratio", float("nan")),
         )
-        self._free_running_plot(epoch)
         return avg.get("total", float("inf")), avg
 
     def _plot_validation(self, epoch: int, batch: dict, out: dict):
@@ -230,25 +233,60 @@ class Trainer:
             e / "align_single" / f"epoch_{epoch:04d}.png",
         )
 
-    def _free_running_plot(self, epoch: int):
-        """Run inference on one cached val sample (ref: lightning_module.py:146-157)."""
+    def _free_running_eval(self, epoch: int, n_samples: int = 4) -> dict:
+        """Free-running decode on cached val samples: plot one
+        (ref: lightning_module.py:146-157) AND return autoregressive
+        quality metrics — the train/inference-mismatch signal the
+        teacher-forced val loss cannot see (the reference's free-running
+        quality is only ever eyeballed, readme.md:43-47)."""
         if jax.process_index() != 0 or len(self.val_loader.ds) == 0:
-            return
-        item = self.val_loader.ds[0]
-        seq = item["sequence"][: self.cfg.runtime.phoneme_buckets[-1]]
-        phoneme = np.zeros((1, self.cfg.runtime.phoneme_buckets[-1]), np.int32)
-        phoneme[0, : len(seq)] = seq
+            return {}
+        n = min(n_samples, len(self.val_loader.ds))
+        items = [self.val_loader.ds[i] for i in range(n)]
+        t_phon = self.cfg.runtime.phoneme_buckets[-1]
+        phoneme = np.zeros((n, t_phon), np.int32)
+        lens = np.zeros((n,), np.int32)
+        for i, item in enumerate(items):
+            seq = item["sequence"][:t_phon]
+            phoneme[i, : len(seq)] = seq
+            lens[i] = len(seq)
         out = jax.device_get(
             self.decode(
                 {"params": self.state.params, "batch_stats": self.state.batch_stats},
-                phoneme, np.array([len(seq)], np.int32),
+                phoneme, lens,
             )
         )
-        n = max(int(out["n_frames"]), 1)
+        n_frames = max(int(out["n_frames"]), 1)
         plots.plot_mels_single(
-            out["post_melspec"][0, :n], item["melspec"],
+            out["post_melspec"][0, :n_frames], items[0]["melspec"],
             self.exp_dir / "mels_single" / f"epoch_{epoch:04d}.png",
         )
+
+        # per-sample predicted length: first stop-vote frame (else the
+        # batch-level n_frames); metrics over min(pred_len, true_len)
+        stop_hit = (
+            1.0 / (1.0 + np.exp(-out["pred_stop"][:, :n_frames]))
+            >= self.cfg.runtime.stop_threshold
+        )
+        mel_l1, mcd, len_ratio = [], [], []
+        from transformertts_tpu.train.metrics import mel_cepstral_distortion
+
+        for i, item in enumerate(items):
+            hits = np.flatnonzero(stop_hit[i])
+            pred_len = int(hits[0]) + 1 if hits.size else n_frames
+            true = item["melspec"]  # (T, n_mels)
+            m = min(pred_len, true.shape[0])
+            pred = out["post_melspec"][i, :m]
+            mel_l1.append(float(np.abs(pred - true[:m]).mean()))
+            mcd.append(float(mel_cepstral_distortion(
+                pred[None], true[None, :m], np.array([m], np.int32)
+            )))
+            len_ratio.append(pred_len / max(true.shape[0], 1))
+        return {
+            "free_mel_l1": float(np.mean(mel_l1)),
+            "free_mcd": float(np.mean(mcd)),
+            "free_len_ratio": float(np.mean(len_ratio)),
+        }
 
     # ------------------------------------------------------------------- fit
 
