@@ -1,0 +1,370 @@
+"""Side-by-side training-trajectory comparison: this framework vs a torch
+mirror with the reference's exact semantics (VERDICT round-1 missing #1).
+
+The reference implementation itself cannot run here (pytorch-lightning,
+librosa, g2p_en absent), so this builds the next-strongest comparison: a
+PyTorch model using the same stock components the reference wires together
+(nn.TransformerEncoder/Decoder post-LN, Conv1d+BatchNorm prenets/postnet,
+shared scaled PE, linear heads — ref: model/model.py:138-320), the same
+masked loss (loss.py:9-55), and the same Adam+Noam+clip training recipe
+(lightning_module.py:160-177, train.py:42) — then trains BOTH models from
+IDENTICAL initial weights (copied from the JAX init) on IDENTICAL batch
+streams from the same preprocessed corpus and records both loss/mel-L1
+trajectories.
+
+Run:  python tools/torch_trajectory.py PREP_DIR [epochs] [--no-dropout]
+Writes torch_vs_jax_trajectory.json.  --no-dropout makes both sides
+deterministic (no dropout RNG to mismatch): the curves must then agree to
+float precision for the first dozens of steps — the strongest equal-steps
+parity statement available without the real dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+import sys
+import time
+
+import numpy as np
+import torch
+import torch.nn as tnn
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+# --------------------------------------------------------------------- torch
+class TorchScaledPE(tnn.Module):
+    def __init__(self, d_model: int, dropout: float, max_len: int):
+        super().__init__()
+        from transformertts_tpu.models.modules import sinusoid_table
+
+        self.register_buffer("pe", torch.from_numpy(sinusoid_table(max_len, d_model)))
+        self.alpha = tnn.Parameter(torch.ones(1))
+        self.drop = tnn.Dropout(dropout)
+
+    def forward(self, x):
+        return self.drop(x + self.alpha * self.pe[: x.shape[1]][None])
+
+
+class TorchConvBN(tnn.Module):
+    def __init__(self, c_in: int, c_out: int, k: int):
+        super().__init__()
+        self.conv = tnn.Conv1d(c_in, c_out, k, padding=(k - 1) // 2)
+        self.bn = tnn.BatchNorm1d(c_out, eps=1e-5, momentum=0.1)
+
+    def forward(self, x):  # (B, T, C)
+        return self.bn(self.conv(x.transpose(1, 2))).transpose(1, 2)
+
+
+class TorchTTS(tnn.Module):
+    """Reference-semantics mirror (ref: model/model.py:138-320)."""
+
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+        d = m.d_model
+        self.emb = tnn.Embedding(m.n_phon, d)
+        self.enc_prenet_convs = tnn.ModuleList(
+            [TorchConvBN(d, d, m.encoder_prenet_kernel_size)
+             for _ in range(m.encoder_prenet_n_layers)]
+        )
+        self.enc_prenet_drop = tnn.Dropout(m.encoder_prenet_dropout)
+        self.enc_prenet_linear = tnn.Linear(d, d)
+        self.dec_prenet_l1 = tnn.Linear(m.n_mels, d)
+        self.dec_prenet_l2 = tnn.Linear(d, d)
+        self.dec_prenet_drop = tnn.Dropout(m.decoder_prenet_dropout)
+        self.pe = TorchScaledPE(d, m.encoder_dropout, m.max_len)  # ONE shared module
+        self.encoder = tnn.TransformerEncoder(
+            tnn.TransformerEncoderLayer(
+                d, m.encoder_n_head, m.encoder_d_ffn, m.encoder_dropout,
+                batch_first=True, norm_first=False,
+            ),
+            m.encoder_n_layers, enable_nested_tensor=False,
+        )
+        self.decoder = tnn.TransformerDecoder(
+            tnn.TransformerDecoderLayer(
+                d, m.decoder_n_head, m.decoder_d_ffn, m.decoder_dropout,
+                batch_first=True, norm_first=False,
+            ),
+            m.decoder_n_layers,
+        )
+        self.postnet = tnn.ModuleList()
+        for i in range(m.postnet_n_layers):
+            c_in = m.n_mels if i == 0 else d
+            c_out = m.n_mels if i == m.postnet_n_layers - 1 else d
+            self.postnet.append(TorchConvBN(c_in, c_out, m.postnet_kernel_size))
+        self.postnet_drop = tnn.Dropout(m.postnet_dropout)
+        self.mel_linear = tnn.Linear(d, m.n_mels)
+        self.stop_linear = tnn.Linear(d, 1)
+
+    def forward(self, phoneme, mel, p_lens, m_lens):
+        b, t_mel = mel.shape[0], mel.shape[1]
+        t_phon = phoneme.shape[1]
+        dev = mel.device
+        src_pad = torch.arange(t_phon, device=dev)[None] >= p_lens[:, None]
+        tgt_pad = torch.arange(t_mel, device=dev)[None] >= m_lens[:, None]
+        causal = torch.triu(
+            torch.ones(t_mel, t_mel, device=dev, dtype=torch.bool), 1
+        )
+
+        go = torch.zeros_like(mel[:, :1])
+        tgt_in = torch.cat([go, mel[:, :-1]], dim=1)
+
+        x = self.emb(phoneme)
+        for conv in self.enc_prenet_convs:
+            x = self.enc_prenet_drop(conv(x))
+        x = self.pe(self.enc_prenet_linear(x))
+        memory = self.encoder(x, src_key_padding_mask=src_pad)
+
+        y = self.dec_prenet_drop(torch.relu(self.dec_prenet_l1(tgt_in)))
+        y = self.dec_prenet_drop(torch.relu(self.dec_prenet_l2(y)))
+        y = self.pe(y)
+        y = self.decoder(
+            y, memory, tgt_mask=causal, tgt_key_padding_mask=tgt_pad,
+            memory_key_padding_mask=src_pad,
+        )
+        pred = self.mel_linear(y)
+        stop = self.stop_linear(y).squeeze(-1)
+        h = pred
+        for i, conv in enumerate(self.postnet):
+            h = conv(h)
+            if i < len(self.postnet) - 1:
+                h = torch.tanh(h)
+            h = self.postnet_drop(h)
+        return pred, h + pred, stop
+
+
+def torch_loss(pred, post, stop, mel, m_lens, stop_weight=8.0, post_w=0.5):
+    t = mel.shape[1]
+    valid = (torch.arange(t, device=mel.device)[None] < m_lens[:, None])
+    fm = valid[:, :, None].expand_as(mel)
+    pred_l = torch.nn.functional.mse_loss(pred[fm], mel[fm])
+    post_l = torch.nn.functional.mse_loss(post[fm], mel[fm])
+    gate = (torch.arange(t, device=mel.device)[None] == (m_lens[:, None] - 1)).float()
+    bce = torch.nn.functional.binary_cross_entropy_with_logits(
+        stop, gate, pos_weight=torch.tensor(stop_weight, device=mel.device),
+        reduction="none",
+    )
+    stop_l = bce[valid].mean()
+    return {
+        "total": pred_l + post_w * post_l + stop_l,
+        "pred_mel": pred_l, "post_mel": post_l, "stop": stop_l,
+    }
+
+
+# ----------------------------------------------------------- weight transfer
+def copy_params(params, bstats, tm: TorchTTS, m) -> None:
+    """JAX param tree -> torch mirror, so both start bit-identical."""
+
+    def g(path):
+        node = params
+        for k in path.split("/"):
+            node = node[k]
+        return torch.from_numpy(np.asarray(node, dtype=np.float32))
+
+    def set_linear(tlin, base):
+        tlin.weight.data = g(f"{base}/kernel").T.contiguous()
+        tlin.bias.data = g(f"{base}/bias")
+
+    def set_convbn(tcb, base):
+        tcb.conv.weight.data = g(f"{base}/Conv_0/kernel").permute(2, 1, 0).contiguous()
+        tcb.conv.bias.data = g(f"{base}/Conv_0/bias")
+        tcb.bn.weight.data = g(f"{base}/BatchNorm_0/scale")
+        tcb.bn.bias.data = g(f"{base}/BatchNorm_0/bias")
+
+    def set_mha(tmha, base):
+        q, k, v = (g(f"{base}/{n}/kernel").T for n in ("q_proj", "k_proj", "v_proj"))
+        tmha.in_proj_weight.data = torch.cat([q, k, v], dim=0).contiguous()
+        tmha.in_proj_bias.data = torch.cat(
+            [g(f"{base}/{n}/bias") for n in ("q_proj", "k_proj", "v_proj")]
+        )
+        tmha.out_proj.weight.data = g(f"{base}/out_proj/kernel").T.contiguous()
+        tmha.out_proj.bias.data = g(f"{base}/out_proj/bias")
+
+    def set_norm(tn, base):
+        tn.weight.data = g(f"{base}/scale")
+        tn.bias.data = g(f"{base}/bias")
+
+    tm.emb.weight.data = g("emb/embedding")
+    for i, cb in enumerate(tm.enc_prenet_convs):
+        set_convbn(cb, f"enc_prenet/ConvBN_{i}")
+    set_linear(tm.enc_prenet_linear, "enc_prenet/LinearNorm_0/Dense_0")
+    set_linear(tm.dec_prenet_l1, "dec_prenet/LinearNorm_0/Dense_0")
+    set_linear(tm.dec_prenet_l2, "dec_prenet/LinearNorm_1/Dense_0")
+    tm.pe.alpha.data = g("pe/alpha")
+    for i, lay in enumerate(tm.encoder.layers):
+        base = f"encoder/layer_{i}"
+        set_mha(lay.self_attn, f"{base}/self_attn")
+        set_linear(lay.linear1, f"{base}/ffn/Dense_0")
+        set_linear(lay.linear2, f"{base}/ffn/Dense_1")
+        set_norm(lay.norm1, f"{base}/norm1")
+        set_norm(lay.norm2, f"{base}/norm2")
+    for i, lay in enumerate(tm.decoder.layers):
+        base = f"decoder/layer_{i}"
+        set_mha(lay.self_attn, f"{base}/self_attn")
+        set_mha(lay.multihead_attn, f"{base}/cross_attn")
+        set_linear(lay.linear1, f"{base}/ffn/Dense_0")
+        set_linear(lay.linear2, f"{base}/ffn/Dense_1")
+        set_norm(lay.norm1, f"{base}/norm1")
+        set_norm(lay.norm2, f"{base}/norm2")
+        set_norm(lay.norm3, f"{base}/norm3")
+    for i, cb in enumerate(tm.postnet):
+        set_convbn(cb, f"postnet/ConvBN_{i}")
+    set_linear(tm.mel_linear, "mel_linear/Dense_0")
+    set_linear(tm.stop_linear, "stop_linear/Dense_0")
+
+
+# ------------------------------------------------------------------ the run
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    from transformertts_tpu.config import tiny_config
+    from transformertts_tpu.data import BucketedLoader, LJSpeechDataset
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.train import create_train_state, make_train_step
+    from transformertts_tpu.train.schedules import noam_schedule
+    from transformertts_tpu.train.train_step import make_eval_step
+
+    prep = sys.argv[1]
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    dropout_on = "--no-dropout" not in sys.argv
+    torch.manual_seed(0)
+
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, batch_size=16, grad_acc_steps=1, warmup_steps=300),
+        runtime=dataclasses.replace(
+            cfg.runtime, phoneme_buckets=(64, 128),
+            mel_buckets=(256, 384, 512, 768)),
+    )
+    if not dropout_on:
+        zeroed = {f.name: 0.0 for f in dataclasses.fields(cfg.model)
+                  if f.name.endswith("dropout")}
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **zeroed))
+
+    train_ds = LJSpeechDataset(prep, "train")
+    val_ds = LJSpeechDataset(prep, "val")
+    loader = BucketedLoader(
+        train_ds, cfg.training.batch_size, grad_acc_steps=1,
+        phoneme_buckets=cfg.runtime.phoneme_buckets,
+        mel_buckets=cfg.runtime.mel_buckets, n_mels=cfg.model.n_mels,
+        shuffle=True, drop_last=True, seed=0, n_threads=2,
+    )
+    val_loader = BucketedLoader(
+        val_ds, cfg.training.batch_size, grad_acc_steps=1,
+        phoneme_buckets=cfg.runtime.phoneme_buckets,
+        mel_buckets=cfg.runtime.mel_buckets, n_mels=cfg.model.n_mels,
+        shuffle=False, drop_last=False, seed=0, n_threads=2,
+    )
+
+    # ---- identical init
+    model = TransformerTTS(cfg.model)
+    example = next(iter(loader.epoch(0)))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), example)
+    tm = TorchTTS(cfg.model)
+    copy_params(state.params, state.batch_stats, tm, cfg.model)
+
+    # parity check at the shared init (eval mode, fresh BN stats)
+    tm.eval()
+    micro = {k: v[0] for k, v in example.items()}
+    with torch.no_grad():
+        tp, tpo, ts = tm(*(torch.from_numpy(np.asarray(micro[k])) for k in
+                           ("phoneme", "melspec", "phoneme_lens", "melspec_lens")))
+    jout = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        micro["phoneme"], micro["melspec"], micro["phoneme_lens"],
+        micro["melspec_lens"], train=False, return_alignments=False,
+    )
+    post_diff = float(np.abs(tpo.numpy() - np.asarray(jout["post_melspec"])).max())
+    print(f"init fwd parity |torch-jax| post_mel: {post_diff:.2e}", file=sys.stderr)
+    assert post_diff < 5e-3, "initial forward mismatch — weight transfer bug"
+
+    # ---- jax side
+    jax_step = make_train_step(model, cfg, scheduled_sampling=False, donate=False)
+    eval_step = make_eval_step(model, cfg)
+
+    def jax_val(st):
+        tot, n = 0.0, 0
+        for b in val_loader.epoch(0):
+            mb = {k: v[0] for k, v in b.items()}
+            metrics = eval_step(st, mb)
+            tot += float(metrics["mel_l1"]); n += 1
+        return tot / max(n, 1)
+
+    jhist, st = [], state
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for ep in range(epochs):
+        tots, n = 0.0, 0
+        for batch in loader.epoch(ep):
+            st, metrics = jax_step(st, batch, 1.0, rng)
+            tots += float(metrics["total"]); n += 1
+        jhist.append({"epoch": ep, "total": tots / n, "val_mel_l1": jax_val(st)})
+        print(f"jax ep {ep}: loss {tots / n:.4f} val_mel_l1 {jhist[-1]['val_mel_l1']:.4f}",
+              file=sys.stderr)
+    jax_s = time.time() - t0
+
+    # ---- torch side: same batches (loader reseeds per epoch), same recipe
+    noam = noam_schedule(cfg.model.d_model, cfg.training.warmup_steps)
+    opt = torch.optim.Adam(tm.parameters(), lr=1.0, betas=(0.9, 0.98),
+                           eps=1e-9, weight_decay=cfg.training.weight_decay)
+    thist = []
+    gstep = 0
+    t0 = time.time()
+
+    def torch_val():
+        tm.eval()
+        tot, n = 0.0, 0
+        with torch.no_grad():
+            for b in val_loader.epoch(0):
+                mb = [torch.from_numpy(np.asarray(b[k][0])) for k in
+                      ("phoneme", "melspec", "phoneme_lens", "melspec_lens")]
+                _, post, _ = tm(*mb)
+                valid = (torch.arange(post.shape[1])[None] < mb[3][:, None])
+                tot += float((post - mb[1]).abs()[valid].mean())
+                n += 1
+        return tot / max(n, 1)
+
+    for ep in range(epochs):
+        tm.train()  # BN stats update + dropout (p=0 in --no-dropout mode)
+        tots, n = 0.0, 0
+        for batch in loader.epoch(ep):
+            mb = [torch.from_numpy(np.asarray(batch[k][0])) for k in
+                  ("phoneme", "melspec", "phoneme_lens", "melspec_lens")]
+            losses = torch_loss(*tm(*mb), mb[1], mb[3],
+                                cfg.loss.stop_weight, cfg.loss.post_mel_weight)
+            opt.zero_grad()
+            losses["total"].backward()
+            torch.nn.utils.clip_grad_norm_(tm.parameters(), cfg.training.max_grad_norm)
+            lr = float(noam(gstep))
+            for gparam in opt.param_groups:
+                gparam["lr"] = lr
+            opt.step()
+            gstep += 1
+            tots += float(losses["total"]); n += 1
+        thist.append({"epoch": ep, "total": tots / n, "val_mel_l1": torch_val()})
+        print(f"torch ep {ep}: loss {tots / n:.4f} val_mel_l1 {thist[-1]['val_mel_l1']:.4f}",
+              file=sys.stderr)
+    torch_s = time.time() - t0
+
+    result = {
+        "config": "tiny (d128 2+2), batch 16, TF-only, identical init + batches",
+        "dropout": dropout_on,
+        "init_fwd_max_abs_diff": post_diff,
+        "jax": jhist, "torch": thist,
+        "jax_wall_s": jax_s, "torch_wall_s": torch_s,
+    }
+    with open("torch_vs_jax_trajectory.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"final_jax": jhist[-1], "final_torch": thist[-1],
+                      "init_fwd_max_abs_diff": post_diff}))
+
+
+if __name__ == "__main__":
+    main()
