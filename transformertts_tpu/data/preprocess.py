@@ -70,6 +70,8 @@ def _device_mels(ids: list[str], cfg: Config):
     STFT->mel kernel (XLA rFFT path off-TPU).  Frame counts are exact:
     each result is sliced to the clip's true 1 + n // hop frames.
     """
+    import wave as wave_mod
+
     import jax
     import jax.numpy as jnp
 
@@ -79,15 +81,40 @@ def _device_mels(ids: list[str], cfg: Config):
     pad = a.n_fft // 2
     on_tpu = jax.default_backend() == "tpu"
 
-    loaded: list[tuple[str, np.ndarray]] = []
-    for audio_id in ids:
-        y, _ = load_wav(Path(cfg.path.data) / "wavs" / f"{audio_id}.wav",
-                        a.sample_rate)
-        loaded.append((audio_id, y))
-    loaded.sort(key=lambda t: len(t[1]))
+    # sort by length WITHOUT loading audio (wav header only), then stream
+    # one batch of wavs at a time — full-corpus residency would be ~8 GB
+    # on LJSpeech
+    def _header_len(audio_id: str) -> int | None:
+        try:
+            with wave_mod.open(
+                str(Path(cfg.path.data) / "wavs" / f"{audio_id}.wav"), "rb"
+            ) as f:
+                return int(f.getnframes() * a.sample_rate / f.getframerate())
+        except Exception as e:  # noqa: BLE001
+            log.warning("mel: skipping %s (header): %s", audio_id, e)
+            return None
 
-    for i in range(0, len(loaded), _DEVICE_MEL_BATCH):
-        chunk = loaded[i:i + _DEVICE_MEL_BATCH]
+    with_len = [(i, n) for i in ids if (n := _header_len(i)) is not None]
+    with_len.sort(key=lambda t: t[1])
+    order = [i for i, _ in with_len]
+
+    def _load_chunk(chunk_ids: list[str]) -> list[tuple[str, np.ndarray]]:
+        out = []
+        for audio_id in chunk_ids:
+            try:
+                y, _ = load_wav(
+                    Path(cfg.path.data) / "wavs" / f"{audio_id}.wav",
+                    a.sample_rate,
+                )
+                out.append((audio_id, y))
+            except Exception as e:  # noqa: BLE001
+                log.warning("mel: skipping %s: %s", audio_id, e)
+        return out
+
+    for i in range(0, len(order), _DEVICE_MEL_BATCH):
+        chunk = _load_chunk(order[i:i + _DEVICE_MEL_BATCH])
+        if not chunk:
+            continue
         max_len = max(len(y) for _, y in chunk) + 2 * pad
         bucket = -(-max_len // _DEVICE_LEN_QUANTUM) * _DEVICE_LEN_QUANTUM
         batch = np.zeros((len(chunk), bucket), np.float32)
