@@ -61,13 +61,17 @@ def remaining() -> float:
 
 
 def _emit(result: dict) -> None:
-    """Print the one JSON line exactly once and flush hard."""
+    """Print the one JSON line exactly once and flush hard.
+
+    The emitted flag is set only AFTER the flush: if a signal lands
+    mid-write, the handler's own _emit still produces a line (a rare
+    duplicate beats the silent no-output failure this guards against)."""
     global _emitted
     if _emitted:
         return
-    _emitted = True
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()
+    _emitted = True
 
 
 def _fallback_result(why: str) -> dict:
@@ -139,7 +143,9 @@ def wait_for_backend() -> bool:
     probe_budget = min(420.0, remaining() - 480.0)
     probe_deadline = time.monotonic() + max(probe_budget, 0.0)
     attempt = 0
-    while time.monotonic() < probe_deadline:
+    # always make at least one probe, even under a tiny deadline — a healthy
+    # backend must never be skipped in favour of the stale replay
+    while attempt == 0 or time.monotonic() < probe_deadline:
         attempt += 1
         try:
             out = subprocess.run(

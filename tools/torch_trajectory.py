@@ -75,7 +75,7 @@ class TorchTTS(tnn.Module):
         self.dec_prenet_l1 = tnn.Linear(m.n_mels, d)
         self.dec_prenet_l2 = tnn.Linear(d, d)
         self.dec_prenet_drop = tnn.Dropout(m.decoder_prenet_dropout)
-        self.pe = TorchScaledPE(d, m.encoder_dropout, m.max_len)  # ONE shared module
+        self.pe = TorchScaledPE(d, m.pe_dropout, m.max_len)  # ONE shared module
         self.encoder = tnn.TransformerEncoder(
             tnn.TransformerEncoderLayer(
                 d, m.encoder_n_head, m.encoder_d_ffn, m.encoder_dropout,

@@ -73,6 +73,9 @@ class ModelConfig:
     n_phon: int = 100
     n_mels: int = 80
     max_len: int = 5000  # positional-encoding table size (ref: model/model.py:76)
+    # dropout inside the shared scaled-PE module; the reference hard-codes
+    # 0.1 regardless of encoder_dropout (ref: model/model.py:75,184)
+    pe_dropout: float = 0.1
     # Frames emitted per decoder step ("reduction factor", Tacotron/paper
     # trick; reference is r=1).  r>1 runs the decoder on T/r positions:
     # ~r x fewer decode steps and a shorter self-attention — an opt-in

@@ -106,6 +106,8 @@ def _device_mels(ids: list[str], cfg: Config):
                     Path(cfg.path.data) / "wavs" / f"{audio_id}.wav",
                     a.sample_rate,
                 )
+                if len(y) == 0:
+                    raise ValueError("empty audio")
                 out.append((audio_id, y))
             except Exception as e:  # noqa: BLE001
                 log.warning("mel: skipping %s: %s", audio_id, e)
@@ -115,27 +117,32 @@ def _device_mels(ids: list[str], cfg: Config):
         chunk = _load_chunk(order[i:i + _DEVICE_MEL_BATCH])
         if not chunk:
             continue
-        max_len = max(len(y) for _, y in chunk) + 2 * pad
-        bucket = -(-max_len // _DEVICE_LEN_QUANTUM) * _DEVICE_LEN_QUANTUM
-        batch = np.zeros((len(chunk), bucket), np.float32)
-        for j, (_, y) in enumerate(chunk):
-            batch[j, : len(y) + 2 * pad] = np.pad(y, pad, mode="reflect")
-        if on_tpu:
-            mels = np.asarray(
-                log_mel_pallas(
-                    jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
-                    a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+        try:
+            max_len = max(len(y) for _, y in chunk) + 2 * pad
+            bucket = -(-max_len // _DEVICE_LEN_QUANTUM) * _DEVICE_LEN_QUANTUM
+            batch = np.zeros((len(chunk), bucket), np.float32)
+            for j, (_, y) in enumerate(chunk):
+                batch[j, : len(y) + 2 * pad] = np.pad(y, pad, mode="reflect")
+            if on_tpu:
+                mels = np.asarray(
+                    log_mel_pallas(
+                        jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
+                        a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+                    )
                 )
-            )
-        else:  # XLA rFFT path — interpret-mode Pallas would be far slower
-            from transformertts_tpu.dsp import mel_spectrogram_jax
+            else:  # XLA rFFT path — interpret-mode Pallas would be far slower
+                from transformertts_tpu.dsp import mel_spectrogram_jax
 
-            mels = np.asarray(
-                mel_spectrogram_jax(
-                    jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
-                    a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+                mels = np.asarray(
+                    mel_spectrogram_jax(
+                        jnp.asarray(batch), a.sample_rate, a.n_fft, a.hop_length,
+                        a.win_length, a.fmin, a.fmax, a.n_mels, center=False,
+                    )
                 )
-            )
+        except Exception as e:  # noqa: BLE001  (per-chunk tolerance, ref preprocess.py:97-100)
+            log.warning("mel: skipping chunk of %d clips (%s..): %s",
+                        len(chunk), chunk[0][0], e)
+            continue
         for j, (audio_id, y) in enumerate(chunk):
             n_frames = 1 + len(y) // a.hop_length
             yield audio_id, mels[j, :, :n_frames]

@@ -66,9 +66,8 @@ class TransformerTTS(nn.Module):
         self.dec_prenet = DecoderPreNet(c.d_model, c.decoder_prenet_dropout, self.dtype)
         # ONE shared PE module (shared alpha), used for both sides —
         # reference quirk kept (ref: model/model.py:184-186, 288, 297).
-        # Dropout rate follows encoder_dropout (0.1 at reference defaults).
         self.pe = ScaledPositionalEncoding(
-            c.d_model, c.encoder_dropout, c.max_len, self.dtype
+            c.d_model, c.pe_dropout, c.max_len, self.dtype
         )
         self.encoder = Encoder(
             c.encoder_n_layers, c.d_model, c.encoder_n_head, c.encoder_d_ffn,

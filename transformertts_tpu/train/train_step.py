@@ -174,22 +174,30 @@ def make_train_step(
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), k)
 
         def micro_step(carry, xs):
-            acc_grads, batch_stats = carry
-            micro_batch, micro_rng = xs
+            acc_grads, batch_stats, mixed0 = carry
+            micro_batch, micro_rng, idx = xs
             grads, losses, batch_stats, target_in = _micro_loss(
                 model, cfg, state.params, batch_stats, micro_batch, p_tf,
                 micro_rng, scheduled_sampling,
             )
             acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-            ys = (losses, target_in) if return_mixed_inputs else (losses, None)
-            return (acc_grads, batch_stats), ys
+            if return_mixed_inputs:
+                # keep only micro-batch 0's mixed inputs in the carry —
+                # stacking all K as a scan output would materialize a
+                # (K, B, T, C) buffer of which (K-1)/K is dead
+                mixed0 = jnp.where(idx == 0, target_in, mixed0)
+            return (acc_grads, batch_stats, mixed0), losses
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        mixed_init = (
+            jnp.zeros_like(batch["melspec"][0]) if return_mixed_inputs else None
+        )
         import os
 
         unroll = int(os.environ.get("TTS_ACCUM_UNROLL", "1"))
-        (acc_grads, new_stats), (losses, mixed) = jax.lax.scan(
-            micro_step, (zero_grads, state.batch_stats), (batch, rngs),
+        (acc_grads, new_stats, mixed), losses = jax.lax.scan(
+            micro_step, (zero_grads, state.batch_stats, mixed_init),
+            (batch, rngs, jnp.arange(k)),
             unroll=unroll if unroll > 1 and k % unroll == 0 else 1,
         )
         grads = jax.tree.map(lambda g: g / k, acc_grads)
@@ -217,7 +225,7 @@ def make_train_step(
             opt_state=keep(new_opt_state, state.opt_state),
         )
         if return_mixed_inputs:
-            return new_state, metrics, mixed[0]
+            return new_state, metrics, mixed
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -262,18 +262,13 @@ class Trainer:
             self.exp_dir / "mels_single" / f"epoch_{epoch:04d}.png",
         )
 
-        # per-sample predicted length: first stop-vote frame (else the
-        # batch-level n_frames); metrics over min(pred_len, true_len)
-        stop_hit = (
-            1.0 / (1.0 + np.exp(-out["pred_stop"][:, :n_frames]))
-            >= self.cfg.runtime.stop_threshold
-        )
+        # metrics over min(pred_len, true_len); decode already returns the
+        # per-row stop-vote lengths (infer/decode.py:per_row_lengths)
         mel_l1, mcd, len_ratio = [], [], []
         from transformertts_tpu.train.metrics import mel_cepstral_distortion
 
         for i, item in enumerate(items):
-            hits = np.flatnonzero(stop_hit[i])
-            pred_len = int(hits[0]) + 1 if hits.size else n_frames
+            pred_len = max(int(out["n_frames_per_row"][i]), 1)
             true = item["melspec"]  # (T, n_mels)
             m = min(pred_len, true.shape[0])
             pred = out["post_melspec"][i, :m]
