@@ -174,8 +174,14 @@ def make_train_step(
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), k)
 
         def micro_step(carry, xs):
+            # xs/carry shapes are kept IDENTICAL to the plain step when
+            # return_mixed_inputs is off (mixed slot is None, which
+            # flattens away) so the persistent compile cache still hits
             acc_grads, batch_stats, mixed0 = carry
-            micro_batch, micro_rng, idx = xs
+            if return_mixed_inputs:
+                micro_batch, micro_rng, idx = xs
+            else:
+                micro_batch, micro_rng = xs
             grads, losses, batch_stats, target_in = _micro_loss(
                 model, cfg, state.params, batch_stats, micro_batch, p_tf,
                 micro_rng, scheduled_sampling,
@@ -189,15 +195,16 @@ def make_train_step(
             return (acc_grads, batch_stats, mixed0), losses
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        mixed_init = (
-            jnp.zeros_like(batch["melspec"][0]) if return_mixed_inputs else None
-        )
+        if return_mixed_inputs:
+            mixed_init = jnp.zeros_like(batch["melspec"][0])
+            xs = (batch, rngs, jnp.arange(k))
+        else:
+            mixed_init, xs = None, (batch, rngs)
         import os
 
         unroll = int(os.environ.get("TTS_ACCUM_UNROLL", "1"))
         (acc_grads, new_stats, mixed), losses = jax.lax.scan(
-            micro_step, (zero_grads, state.batch_stats, mixed_init),
-            (batch, rngs, jnp.arange(k)),
+            micro_step, (zero_grads, state.batch_stats, mixed_init), xs,
             unroll=unroll if unroll > 1 and k % unroll == 0 else 1,
         )
         grads = jax.tree.map(lambda g: g / k, acc_grads)
