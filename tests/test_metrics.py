@@ -56,3 +56,22 @@ def test_stop_metrics_miss():
     m = stop_token_metrics(logits, lens)
     assert float(m["stop_recall"]) == 0.0
     assert float(m["stop_accuracy"]) == 0.75  # 3/4 correct negatives
+
+
+def test_stop_recall_tolerant_window():
+    """stop_recall_2 counts a row when any frame within ±2 of the true
+    stop frame fires, while strict stop_recall requires the exact frame."""
+    import jax.numpy as jnp
+
+    from transformertts_tpu.train.metrics import stop_token_metrics
+
+    t = 12
+    lengths = jnp.array([10, 10])
+    logits = jnp.full((2, t), -10.0)
+    # row 0: fires 2 frames early (index 7; exact would be 9)
+    logits = logits.at[0, 7].set(10.0)
+    # row 1: fires exactly at index 9
+    logits = logits.at[1, 9].set(10.0)
+    m = stop_token_metrics(logits, lengths)
+    assert float(m["stop_recall"]) == 0.5
+    assert float(m["stop_recall_2"]) == 1.0

@@ -48,15 +48,26 @@ def stop_token_metrics(
     lengths: jnp.ndarray,  # (B,)
     threshold: float = 0.5,
 ) -> dict:
-    """Accuracy over valid frames + recall of the exact stop frame."""
+    """Accuracy over valid frames + recall of the exact stop frame, plus a
+    ±2-frame tolerant recall (a 2-frame offset is ~23 ms of audio — the
+    strict exact-frame recall under-reports a stop head that is already
+    usable for decode termination)."""
     t = stop_logits.shape[1]
     valid = lengths_to_valid_mask(lengths, t)
-    gate = jnp.arange(t)[None, :] == (lengths[:, None] - 1)
+    idx = jnp.arange(t)[None, :]
+    gate = idx == (lengths[:, None] - 1)
+    near = jnp.abs(idx - (lengths[:, None] - 1)) <= 2
     predicted = stop_logits >= _logit(threshold)
     correct = jnp.where(valid, predicted == gate, False)
     accuracy = correct.sum() / jnp.maximum(valid.sum(), 1)
     stop_hit = jnp.where(gate, predicted, False).sum() / jnp.maximum(gate.sum(), 1)
-    return {"stop_accuracy": accuracy, "stop_recall": stop_hit}
+    # a row counts for tolerant recall if ANY frame within ±2 fires
+    near_hit = jnp.where(near, predicted, False).any(axis=1)
+    return {
+        "stop_accuracy": accuracy,
+        "stop_recall": stop_hit,
+        "stop_recall_2": near_hit.mean(),
+    }
 
 
 def _logit(p: float) -> float:
