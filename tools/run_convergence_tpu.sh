@@ -12,6 +12,6 @@ exec python -m transformertts_tpu.cli train \
   --set path.data=$DATA/LJSpeech-1.1 --set path.preprocessed=$DATA/prep \
   --set path.experiment=$DATA/exp \
   --set training.num_epochs=150 --set training.warmup_steps=1000 \
-  --set training.log_interval=4 \
+  --set training.log_interval=8 \
   --set loss.guided_attn_weight=10.0 \
   --exp-dir $DATA/exp/convergence_r2
