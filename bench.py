@@ -167,10 +167,14 @@ def wait_for_backend() -> bool:
 def main():
     global _best_result
 
-    if not wait_for_backend():
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"  # measurement-path testing
+    if not force_cpu and not wait_for_backend():
         _emit_best_and_exit("TPU tunnel unavailable during probe window")
 
     import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from transformertts_tpu.utils.compile_cache import enable_compile_cache
 
