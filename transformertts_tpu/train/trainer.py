@@ -126,7 +126,7 @@ class Trainer:
         step_fn = self.train_step_ss if use_ss else self.train_step_tf
         rng = jax.random.PRNGKey(cfg.training.seed + 1000 + epoch)
 
-        totals, n_steps = {}, 0
+        step_metrics, n_steps = [], 0
         audio_seconds = 0.0
         profiling = False
         t_start = time.perf_counter()
@@ -148,6 +148,11 @@ class Trainer:
                     jax.block_until_ready(metrics["total"])
                     jax.profiler.stop_trace()
                     profiling = False
+                # metrics stay ON DEVICE here — a per-step device_get would
+                # force a tunnel round trip per step; they are fetched in
+                # one transfer at epoch end (scalars, so holding an epoch's
+                # worth costs nothing)
+                step_metrics.append(metrics)
                 if n_steps % cfg.training.log_interval == 0:
                     metrics = jax.device_get(metrics)
                     step_now = int(jax.device_get(self.state.step))
@@ -166,8 +171,12 @@ class Trainer:
                             self.exp_dir / "mels_scheduled"
                             / f"epoch_{epoch:04d}_step_{step_now:06d}.png",
                         )
-                for name, val in jax.device_get(metrics).items():
-                    totals[name] = totals.get(name, 0.0) + float(val)
+
+        fetched = jax.device_get(step_metrics)
+        totals: dict[str, float] = {}
+        for m in fetched:
+            for name, val in m.items():
+                totals[name] = totals.get(name, 0.0) + float(val)
 
         skipped = totals.get("skipped", 0.0)
         if skipped:
