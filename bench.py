@@ -306,7 +306,9 @@ def main():
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
     }
-    if dev.platform != "cpu":
+    # BENCH_NO_RECORD=1 keeps sweep/variant runs (e.g. tools/tune_paper.sh)
+    # from replacing the parity-config replay record with their numbers
+    if dev.platform != "cpu" and os.environ.get("BENCH_NO_RECORD") != "1":
         try:
             with open(LAST_GOOD, "w") as f:
                 json.dump({**result, "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
