@@ -17,6 +17,9 @@ Writes ab_batch64.json and trace dirs /tmp/ab64_{scan,merged}.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time

@@ -3,6 +3,9 @@ numerical-agreement check between the two variants."""
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import os
 import sys

@@ -12,6 +12,9 @@ Run on the real chip:  python tools/ab_decode_batched.py
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time

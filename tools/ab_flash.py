@@ -7,6 +7,9 @@ One process == one tunnel session, so deltas are meaningful.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import os
 import sys

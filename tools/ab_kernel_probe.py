@@ -6,6 +6,9 @@ All variants in one session so deltas are meaningful.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time

@@ -13,6 +13,9 @@ Writes ab_preprocess_mel.json.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time

@@ -7,6 +7,9 @@ the default configuration to /tmp/jaxtrace2 for op-level analysis.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import os
 import sys

@@ -23,6 +23,9 @@ Usage: python tools/gen_mel_goldens.py   (writes tests/golden/mel_goldens.npz)
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import math
 import pathlib
 

@@ -13,6 +13,9 @@ in neutral ink; recessive grid.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import json
 import pathlib
 import sys

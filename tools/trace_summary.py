@@ -11,6 +11,9 @@ as ms/step.  Used throughout PERF.md's tuning sessions.
 
 from __future__ import annotations
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import argparse
 import collections
 import glob

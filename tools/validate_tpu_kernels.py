@@ -23,6 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pathlib as _pl, sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 from transformertts_tpu.ops.pallas.flash_attention import flash_attention
 from transformertts_tpu.ops.pallas.fused_ffn import fused_ffn
 from transformertts_tpu.ops.pallas.fused_ln import residual_dropout_layernorm
