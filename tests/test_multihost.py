@@ -89,11 +89,16 @@ def test_two_host_dp(tmp_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env.update({
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "COORD": f"127.0.0.1:{port}",
             "PROC_ID": str(pid),
+            # the worker runs from tmp_path, so the repo root must be on its
+            # import path regardless of the ambient PYTHONPATH (which the
+            # container points at the axon PJRT plugin site)
+            "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
         })
         procs.append(
             subprocess.Popen(

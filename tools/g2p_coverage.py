@@ -101,11 +101,25 @@ def measure(text: str) -> dict:
     words = [t.strip("'") for t in tokens if t not in PUNCTUATION and t.strip("'")]
     hits = [w for w in words if w in _LEXICON]
     oov = [w for w in words if w not in _LEXICON]
+    # words the LTS renders from a LEXICON stem via the inflection rules
+    # (-s/-es/-ies/-ed/-ing/-er/-est/-ly/...): lexicon-quality output too
+    def derived(w: str) -> bool:
+        w = w.replace("'", "")
+        for n, restore in ((1, ""), (2, ""), (2, "e"), (3, ""), (3, "e"),
+                           (3, "y"), (4, "")):
+            if len(w) > n + 2 and w[:-n] + restore in _LEXICON:
+                return True
+        return False
+
+    derived_hits = [w for w in oov if derived(w)]
     oov_counts = Counter(oov)
     return {
         "word_tokens": len(words),
         "lexicon_hits": len(hits),
         "hit_rate": round(len(hits) / max(len(words), 1), 4),
+        "derived_hits": len(derived_hits),
+        "lexicon_or_derived_rate": round(
+            (len(hits) + len(derived_hits)) / max(len(words), 1), 4),
         "distinct_words": len(set(words)),
         "distinct_in_lexicon": len({w for w in words if w in _LEXICON}),
         "distinct_oov": len(oov_counts),

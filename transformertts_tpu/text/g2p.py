@@ -83,6 +83,19 @@ def _suffix_phones(word: str) -> tuple[str, list[str]] | None:
     return None
 
 
+def _er_est_stem(word: str, n: int) -> str | None:
+    """Lexicon stem for a comparative/superlative: bare ("tight-er"),
+    e-restored ("larg-er" -> "large"), un-doubled ("bigg-er" -> "big"),
+    y-restored ("earli-er" -> "early")."""
+    base = word[:-n]
+    for cand in (base, base + "e",
+                 base[:-1] if len(base) > 2 and base[-1] == base[-2] else None,
+                 base[:-1] + "y" if base.endswith("i") else None):
+        if cand and cand in _LEXICON:
+            return cand
+    return None
+
+
 def rule_letter_to_sound(word: str) -> list[str]:
     """Deterministic rule-based LTS for out-of-lexicon words."""
     word = word.replace("'", "")
@@ -91,6 +104,14 @@ def rule_letter_to_sound(word: str) -> list[str]:
     def stem_phones(stem: str) -> list[str]:
         return list(_LEXICON.get(stem) or rule_letter_to_sound(stem))
 
+    if len(word) > 4 and word.endswith("ies"):
+        # plural/3sg of a -y word: "communities" -> "community" + IY0 Z
+        stem = _LEXICON.get(word[:-3] + "y")
+        if stem:
+            stem = list(stem)
+            if stem and stem[-1] == "IY0":
+                stem = stem[:-1]  # avoid doubling the final vowel
+            return stem + ["IY0", "Z"]
     if len(word) > 4 and word.endswith("es") and word[-3] in "sxzh":
         return stem_phones(word[:-2]) + ["IH0", "Z"]
     if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
@@ -114,21 +135,33 @@ def rule_letter_to_sound(word: str) -> list[str]:
             if last in {"T", "D"}:
                 return stem + ["IH0", "D"]
             return stem + (["T"] if last in _VOICELESS_END else ["D"])
-    if len(word) > 5 and word.endswith("ing"):
+    if len(word) > 4 and word.endswith("ing"):
         # candidates: lexicon stem, e-restored ("making"->"make"),
-        # un-doubled ("stopping"->"stop"); LTS peel only when the bare
-        # stem still carries a vowel letter (avoids "str-ing")
+        # un-doubled ("stopping"->"stop"); LTS peel only for longer words
+        # whose bare stem still carries a vowel letter (avoids "str-ing";
+        # 5-letter peels like "aging"->"age" are lexicon-stem only)
         stem = (_LEXICON.get(word[:-3]) or _LEXICON.get(word[:-3] + "e")
                 or (_LEXICON.get(word[:-4])
-                    if word[-4] == word[-5] else None))
-        if stem is None and any(c in "aeiouy" for c in word[:-3]):
+                    if len(word) > 5 and word[-4] == word[-5] else None))
+        if (stem is None and len(word) > 5
+                and any(c in "aeiouy" for c in word[:-3])):
             stem = rule_letter_to_sound(word[:-3])
         if stem:
             return list(stem) + ["IH0", "NG"]
+    if len(word) > 4 and (word.endswith("er") or word.endswith("est")):
+        # comparative/superlative over a lexicon stem ("tighter", "largest")
+        n = 2 if word.endswith("er") else 3
+        cand = _er_est_stem(word, n)
+        if cand:
+            suf = ["ER0"] if n == 2 else ["AH0", "S", "T"]
+            return list(_LEXICON[cand]) + suf
     peeled = _suffix_phones(word)
     if peeled is not None:
         stem, suf = peeled
-        return stem_phones(stem) + suf
+        out = stem_phones(stem)
+        if out and out[-1] == suf[0]:
+            out = out[:-1]  # "careful" + "ly" -> single L
+        return out + suf
     # silent final e after consonant+vowel+consonant ("make", "time")
     if len(word) > 3 and word.endswith("e") and word[-2] not in "aeiou":
         word = word[:-1]
