@@ -58,10 +58,15 @@ def main():
         for mk in (False, True):
             label = "megakernel" if mk else "xla_loop"
             try:
+                # stop_threshold=2.0: force the full max_len frames — an
+                # untrained model's stop logits cross the default 0.5
+                # threshold at frame 1 (verified), which would reduce the
+                # "decode" to one step of pure dispatch overhead
                 fn = make_decode_fn(model, cfg, max_len=max_len,
-                                    use_megakernel=mk)
+                                    stop_threshold=2.0, use_megakernel=mk)
                 out = fn(variables, phoneme, lens)  # compile
-                _ = int(jax.device_get(out["n_frames"]))
+                nf = int(jax.device_get(out["n_frames"]))
+                assert nf == max_len, f"expected {max_len} frames, got {nf}"
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
