@@ -164,9 +164,14 @@ class RuntimeConfig:
     fused_optimizer: bool = False
     # run each batch-1 decode step as ONE Pallas program with all decoder
     # weights + caches resident in VMEM (ops/pallas/decode_step.py) — the
-    # single-stream serving latency path.  Auto-gated: TPU backend, batch 1,
-    # VMEM fit (decode_step_fits); batched decode stays on the XLA loop.
+    # single-stream serving latency path.  Auto-gated: TPU backend, batch
+    # <= decode_megakernel_max_batch, VMEM fit (decode_step_fits); larger
+    # batches stay on the XLA loop (which amortizes dispatch at B >= 16).
     use_pallas_decode_step: bool = True
+    # largest batch the auto gate routes to the (batched) decode megakernel;
+    # 1 = single-stream only (the batched kernel is opt-in via
+    # use_megakernel=True until the hardware A/B justifies raising this)
+    decode_megakernel_max_batch: int = 1
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.

@@ -113,13 +113,12 @@ def make_decode_fn(
             mega = (
                 cfg.runtime.use_pallas_decode_step
                 and on_tpu
-                and b == 1
+                and b <= cfg.runtime.decode_megakernel_max_batch
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1])
             )
         if mega and b > 1:
-            # EXPERIMENTAL batched kernel — reachable only by forcing
-            # use_megakernel=True (the auto gate stays batch-1 until the
-            # leading-batch-dim dot_generals are benchmarked on hardware)
+            # batched kernel — auto-gated by decode_megakernel_max_batch
+            # (default 1: opt-in only, pending the hardware A/B verdict)
             return _megakernel_decode_batched(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,
                 n_pos, max_len, stop_threshold, interpret=not on_tpu,
