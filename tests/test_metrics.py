@@ -75,3 +75,22 @@ def test_stop_recall_tolerant_window():
     m = stop_token_metrics(logits, lengths)
     assert float(m["stop_recall"]) == 0.5
     assert float(m["stop_recall_2"]) == 1.0
+
+
+def test_stop_recall_tolerant_ignores_padding_rows():
+    """Bucket-padded dummy rows (length 0) must not dilute the tolerant
+    recall: it must never read below the strict recall (regression — the
+    mean used to run over ALL rows, halving recall_2 in half-padded
+    batches)."""
+    import jax.numpy as jnp
+
+    from transformertts_tpu.train.metrics import stop_token_metrics
+
+    t = 12
+    lengths = jnp.array([10, 0, 0, 0])  # one real row, three pad rows
+    logits = jnp.full((4, t), -10.0)
+    logits = logits.at[0, 9].set(10.0)  # real row fires exactly
+    m = stop_token_metrics(logits, lengths)
+    assert float(m["stop_recall"]) == 1.0
+    assert float(m["stop_recall_2"]) == 1.0
+    assert float(m["stop_recall_2"]) >= float(m["stop_recall"])

@@ -61,12 +61,16 @@ def stop_token_metrics(
     correct = jnp.where(valid, predicted == gate, False)
     accuracy = correct.sum() / jnp.maximum(valid.sum(), 1)
     stop_hit = jnp.where(gate, predicted, False).sum() / jnp.maximum(gate.sum(), 1)
-    # a row counts for tolerant recall if ANY frame within ±2 fires
-    near_hit = jnp.where(near, predicted, False).any(axis=1)
+    # a row counts for tolerant recall if ANY frame within ±2 fires;
+    # restrict to real rows (length > 0) — bucket-padded dummy rows have
+    # no stop frame and must not dilute the mean (they made the tolerant
+    # recall read BELOW the strict one)
+    row_real = lengths > 0
+    near_hit = jnp.where(near, predicted, False).any(axis=1) & row_real
     return {
         "stop_accuracy": accuracy,
         "stop_recall": stop_hit,
-        "stop_recall_2": near_hit.mean(),
+        "stop_recall_2": near_hit.sum() / jnp.maximum(row_real.sum(), 1),
     }
 
 
