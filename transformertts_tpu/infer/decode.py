@@ -114,7 +114,7 @@ def make_decode_fn(
                 cfg.runtime.use_pallas_decode_step
                 and on_tpu
                 and b <= cfg.runtime.decode_megakernel_max_batch
-                and decode_step_fits(cfg, n_pos, phoneme.shape[1])
+                and decode_step_fits(cfg, n_pos, phoneme.shape[1], batch=b)
             )
         if mega and b > 1:
             # batched kernel — auto-gated by decode_megakernel_max_batch

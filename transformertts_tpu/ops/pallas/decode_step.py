@@ -272,14 +272,19 @@ def decode_step(
     return y, k_new, v_new
 
 
-def decode_step_fits(cfg, n_pos: int, tp: int) -> bool:
-    """VMEM budget check: weights + caches + activations must fit."""
+def decode_step_fits(cfg, n_pos: int, tp: int, batch: int = 1) -> bool:
+    """VMEM budget check: weights + caches + activations must fit.
+
+    ``batch`` scales the cache (and activation headroom) terms — the
+    batched kernel's caches are (L, H, B, T, dh), B times the batch-1
+    layout, while the weights are shared.
+    """
     m = cfg.model
     D, F, L, H = m.d_model, m.decoder_d_ffn, m.decoder_n_layers, m.decoder_n_head
     dh_pad = max(128, D // H)  # lane padding
     weights = L * (2 * D * F + 8 * D * D) + 4 * D * max(128, m.n_mels + 8)
-    caches = 2 * L * H * (n_pos + tp) * dh_pad
-    return (weights + caches) * 2 + 2 * 1024 * 1024 < 14 * 1024 * 1024
+    caches = batch * 2 * L * H * (n_pos + tp) * dh_pad
+    return (weights + caches) * 2 + batch * 2 * 1024 * 1024 < 14 * 1024 * 1024
 
 
 # --------------------------------------------------------------- batched

@@ -105,13 +105,18 @@ def rule_letter_to_sound(word: str) -> list[str]:
         return list(_LEXICON.get(stem) or rule_letter_to_sound(stem))
 
     if len(word) > 4 and word.endswith("ies"):
-        # plural/3sg of a -y word: "communities" -> "community" + IY0 Z
+        # plural/3sg of a -y word: "communities" -> "community" + IY0 Z,
+        # but "applies" -> "apply" (ends AY1) + just Z
         stem = _LEXICON.get(word[:-3] + "y")
         if stem:
             stem = list(stem)
+            last = stem[-1].rstrip("012") if stem else ""
             if stem and stem[-1] == "IY0":
-                stem = stem[:-1]  # avoid doubling the final vowel
-            return stem + ["IY0", "Z"]
+                return stem[:-1] + ["IY0", "Z"]
+            if last in _VOWEL_PHONES:
+                return stem + ["Z"]
+            # consonant-final -y stem pronunciation: unusual; fall through
+            # to the generic -s rule below
     if len(word) > 4 and word.endswith("es") and word[-3] in "sxzh":
         return stem_phones(word[:-2]) + ["IH0", "Z"]
     if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
