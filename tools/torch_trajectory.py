@@ -233,9 +233,17 @@ def main():
     prep = sys.argv[1]
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     dropout_on = "--no-dropout" not in sys.argv
+    parity = "--parity" in sys.argv
     torch.manual_seed(0)
 
-    cfg = tiny_config()
+    if parity:
+        # full reference config: d_model 256, 3+3 layers, 4 heads
+        # (/root/reference/config.yaml:26-41) — VERDICT round-2 weak #4
+        from transformertts_tpu.config import Config
+
+        cfg = Config()
+    else:
+        cfg = tiny_config()
     cfg = cfg.replace(
         training=dataclasses.replace(
             cfg.training, batch_size=16, grad_acc_steps=1, warmup_steps=300),
@@ -353,14 +361,18 @@ def main():
               file=sys.stderr)
     torch_s = time.time() - t0
 
+    label = ("parity (d256 3+3, 4 heads)" if parity
+             else "tiny (d128 2+2)")
     result = {
-        "config": "tiny (d128 2+2), batch 16, TF-only, identical init + batches",
+        "config": f"{label}, batch 16, TF-only, identical init + batches",
         "dropout": dropout_on,
         "init_fwd_max_abs_diff": post_diff,
         "jax": jhist, "torch": thist,
         "jax_wall_s": jax_s, "torch_wall_s": torch_s,
     }
-    with open("torch_vs_jax_trajectory.json", "w") as f:
+    out = ("torch_vs_jax_trajectory_parity.json" if parity
+           else "torch_vs_jax_trajectory.json")
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"final_jax": jhist[-1], "final_torch": thist[-1],
                       "init_fwd_max_abs_diff": post_diff}))
