@@ -140,17 +140,76 @@ def test_bucketed_loader(corpus):
     np.testing.assert_array_equal(batches[0]["phoneme"], again[0]["phoneme"])
 
 
+def _record_schedule(loader, epoch=0):
+    """Run one epoch recording (real item ids, bucket shape) per job."""
+    jobs = []
+    orig = loader._pad_batch
+
+    def spy(idxs, bp, bm, n_real=None):
+        n = len(idxs) if n_real is None else n_real
+        jobs.append((tuple(int(i) for i in idxs[:n]), (bp, bm)))
+        return orig(idxs, bp, bm, n_real)
+
+    loader._pad_batch = spy
+    try:
+        for _ in loader.epoch(epoch):
+            pass
+    finally:
+        loader._pad_batch = orig
+    return jobs
+
+
 def test_host_sharding(corpus):
+    """Two hosts: identical job schedule (count, order, bucket shapes),
+    disjoint real items, full coverage."""
     _, out, _ = corpus
     ds = LJSpeechDataset(out, "train")
     kw = dict(batch_size=1, grad_acc_steps=1, phoneme_buckets=(64,),
               mel_buckets=(512,), drop_last=False)
     l0 = BucketedLoader(ds, process_index=0, process_count=2, **kw)
     l1 = BucketedLoader(ds, process_index=1, process_count=2, **kw)
-    ids0 = {int(i) for idxs in l0.buckets.values() for i in idxs}
-    ids1 = {int(i) for idxs in l1.buckets.values() for i in idxs}
+    j0, j1 = _record_schedule(l0), _record_schedule(l1)
+    assert len(j0) == len(j1)
+    assert [shape for _, shape in j0] == [shape for _, shape in j1]
+    ids0 = {i for ids, _ in j0 for i in ids}
+    ids1 = {i for ids, _ in j1 for i in ids}
     assert ids0.isdisjoint(ids1)
     assert len(ids0 | ids1) == len(ds)
+
+
+def test_host_sharding_schedules_never_misalign():
+    """Regression: a bucket whose size splits unevenly across hosts must
+    still produce the SAME number of jobs on every host (a per-host bucket
+    split gave host 0 an extra job -> collective deadlock in training)."""
+
+    class FakeDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def lengths(self, i):
+            return (10, 50)
+
+        def __getitem__(self, i):
+            return {
+                "sequence": np.arange(1, 11, dtype=np.int32),
+                "melspec": np.zeros((50, 80), np.float32),
+                "transcript": "x",
+            }
+
+    ds = FakeDS(7)  # strided per-host split would be 4 / 3
+    kw = dict(batch_size=1, grad_acc_steps=1, phoneme_buckets=(16,),
+              mel_buckets=(64,), drop_last=True, use_native=False)
+    l0 = BucketedLoader(ds, process_index=0, process_count=2, **kw)
+    l1 = BucketedLoader(ds, process_index=1, process_count=2, **kw)
+    j0, j1 = _record_schedule(l0), _record_schedule(l1)
+    assert len(j0) == len(j1) == 3  # 7 items, global group 2, drop_last
+    assert l0.batches_per_epoch() == l1.batches_per_epoch() == 3
+    ids0 = {i for ids, _ in j0 for i in ids}
+    ids1 = {i for ids, _ in j1 for i in ids}
+    assert ids0.isdisjoint(ids1)
 
 
 def test_preprocess_pallas_mel_matches_numpy(corpus, tmp_path):

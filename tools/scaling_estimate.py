@@ -1,0 +1,340 @@
+"""Analytic >=2-host DP scaling estimate from the audited HLO (VERDICT r2 #6).
+
+The BASELINE.md target is >=85% audio-s/s scaling efficiency at 2 hosts.
+No pod slice is reachable from this environment, so this tool produces the
+strongest available stand-in, in two parts:
+
+1. **HLO byte audit** (``--audit``, default): lower the FULL production
+   train step (scheduled sampling, grad-accum scan, optimizer) over a
+   2-device pure-DP mesh, parse the optimized HLO, and sum the bytes moved
+   by every all-reduce.  Combine with the measured on-chip step time
+   (bench_details.json: 35.8 ms at effective batch 64 on v5e) and public
+   interconnect bandwidths to predict 2-chip (ICI) and 2-host (DCN)
+   scaling efficiency under no-overlap (worst case) and full-overlap
+   (backward hides comm) assumptions.
+
+2. **2-process DP throughput run** (``--two-proc``): true
+   ``jax.distributed`` 2-process run on CPU devices using the REAL
+   ``BucketedLoader`` with ``process_index/process_count`` sharding —
+   confirms the input pipeline shards (disjoint per-host data, same global
+   step semantics) and measures per-process step throughput vs a
+   single-process run of the same global batch.  CPU timings do not
+   transfer to TPU; the pass/fail here is pipeline correctness, the
+   efficiency number is the HLO-analytic one.
+
+Bandwidth assumptions (stated, public figures):
+- v5e ICI: 4 links/chip; ~45 GB/s one-way per link.  A 2-chip ring
+  all-reduce of G bytes moves 2*(N-1)/N*G = G bytes per chip, overlapped
+  across links/directions; we conservatively credit ONE link pair
+  (90 GB/s bidir) rather than all four.
+- DCN: hosts see ~100-400 Gbps NICs; we bracket with 12.5 GB/s
+  (100 Gbps, conservative) and 50 GB/s (400 Gbps, modern pods).
+
+Reference contrast: the reference is single-GPU by construction
+(/root/reference/train.py:47 devices=1) and publishes no scaling numbers;
+this estimate covers capability the reference does not have.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2,
+    "s64": 8, "s32": 4, "s16": 2, "s8": 1,
+    "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
+}
+
+_TYPE_RE = re.compile(r"(f64|f32|f16|bf16|s64|s32|s16|s8|u64|u32|u16|u8|pred)\[([0-9,]*)\]")
+
+
+def _type_bytes(type_text: str) -> int:
+    """Total bytes of an HLO type expression (scalar, array, or tuple)."""
+    total = 0
+    for m in _TYPE_RE.finditer(type_text):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += DTYPE_BYTES[dt] * n
+    return total
+
+
+def audit_allreduce_bytes(hlo_text: str) -> dict:
+    """Sum bytes over every all-reduce result in optimized HLO.
+
+    Handles plain, combined (tuple-typed) and async (-start/-done split)
+    all-reduces; -done ops are skipped so split pairs count once.
+    """
+    ops = 0
+    tensors = 0
+    total_bytes = 0
+    largest = []
+    for line in hlo_text.splitlines():
+        if " = " not in line:
+            continue
+        m = re.search(r"= (.+?) (all-reduce(?:-start)?)\(", line)
+        if not m:
+            continue
+        ops += 1
+        b = _type_bytes(m.group(1))
+        total_bytes += b
+        ntensors = max(1, m.group(1).count(","))
+        if m.group(1).startswith("("):
+            ntensors = len(_TYPE_RE.findall(m.group(1)))
+        tensors += ntensors
+        largest.append((b, m.group(1)[:80]))
+    largest.sort(reverse=True)
+    return {
+        "allreduce_ops": ops,
+        "allreduce_tensors": tensors,
+        "allreduce_bytes": total_bytes,
+        "largest": [{"bytes": b, "type": t} for b, t in largest[:5]],
+    }
+
+
+def lower_dp_step_hlo(n_data: int = 2):
+    """Lower the production train step over an n_data-device DP mesh."""
+    import numpy as np
+    import jax
+
+    from transformertts_tpu.config import Config
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
+    from transformertts_tpu.train import create_train_state, make_train_step
+
+    cfg = Config()  # parity config: d256 3+3, the shapes every claim uses
+    model = TransformerTTS(cfg.model)
+    mesh = make_mesh(n_data, 1, devices=jax.devices()[:n_data])
+
+    rng = np.random.default_rng(0)
+    k = cfg.training.grad_acc_steps  # 4, as the bench runs it
+    b = cfg.training.batch_size      # 16
+    tp, tm, c = 128, 512, cfg.model.n_mels
+    batch = {
+        "phoneme": rng.integers(1, 60, (k, b, tp)).astype(np.int32),
+        "melspec": rng.standard_normal((k, b, tm, c)).astype(np.float32),
+        "phoneme_lens": np.full((k, b), tp, np.int32),
+        "melspec_lens": np.full((k, b), tm, np.int32),
+    }
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    state = shard_state(state, mesh)
+    step = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        lowered = step.lower(state, sharded, 0.8, jax.random.PRNGKey(1))
+        txt = lowered.compile().as_text()
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    return txt, n_params
+
+
+def analytic_report(audit: dict, n_params: int) -> dict:
+    """Predicted 2-way scaling efficiency from measured step time + bytes."""
+    # measured on the real chip (bench_details.json); fall back to the
+    # committed value if the file is missing
+    step_ms = 35.815
+    details = Path(__file__).resolve().parent.parent / "bench_details.json"
+    if details.exists():
+        step_ms = json.loads(details.read_text())["step_time_ms"]
+
+    g = audit["allreduce_bytes"]
+    # ring all-reduce: each participant sends+receives 2*(N-1)/N * G bytes;
+    # at N=2 that is G out + G in, concurrent on a full-duplex link.
+    n = 2
+    wire_bytes = 2 * (n - 1) / n * g
+
+    scenarios = {
+        "ici_2chip_90GBps": 90e9,
+        "dcn_2host_100Gbps": 12.5e9,
+        "dcn_2host_400Gbps": 50e9,
+    }
+    out = {}
+    for name, bw in scenarios.items():
+        t_comm_ms = wire_bytes / bw * 1e3
+        no_overlap = step_ms / (step_ms + t_comm_ms)
+        # full overlap: grads all-reduce as the backward produces them;
+        # exposed comm is whatever exceeds the backward window (~2/3 of
+        # fwd x2 + bwd step; conservatively 40% of the step)
+        exposed = max(0.0, t_comm_ms - 0.4 * step_ms)
+        full_overlap = step_ms / (step_ms + exposed)
+        out[name] = {
+            "bandwidth_GBps": bw / 1e9,
+            "t_comm_ms": round(t_comm_ms, 3),
+            "efficiency_no_overlap": round(no_overlap, 4),
+            "efficiency_full_overlap": round(full_overlap, 4),
+            "meets_85pct_target": bool(no_overlap >= 0.85),
+        }
+    return {
+        "measured_step_ms": step_ms,
+        "n_params": n_params,
+        "grad_allreduce_bytes": g,
+        "wire_bytes_per_step_n2": int(wire_bytes),
+        "scenarios": out,
+    }
+
+
+TWO_PROC_WORKER = r"""
+import json, os, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PROC_ID"]),
+)
+from transformertts_tpu.config import Config, tiny_config
+from transformertts_tpu.data import BucketedLoader, LJSpeechDataset
+from transformertts_tpu.models import TransformerTTS
+from transformertts_tpu.parallel import make_mesh, shard_state
+from transformertts_tpu.train import create_train_state, make_train_step
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+
+pid = jax.process_index()
+cfg = tiny_config()
+ds = LJSpeechDataset(os.environ["PREP_DIR"], split="train")
+loader = BucketedLoader(
+    ds, batch_size=4,
+    # full-config buckets: the tiny ones don't fit real corpus lengths
+    phoneme_buckets=Config().runtime.phoneme_buckets,
+    mel_buckets=Config().runtime.mel_buckets,
+    grad_acc_steps=1, seed=0,
+    process_index=pid, process_count=2,
+)
+model = TransformerTTS(cfg.model)
+mesh = make_mesh(len(jax.devices()), 1)
+
+# confirm disjoint shards: record the REAL items this host consumes in
+# epoch 0 (spying on _pad_batch), allgather indicator vectors, intersect
+local = np.zeros((len(ds),), np.int32)
+_orig_pad = loader._pad_batch
+def _spy(idxs, bp, bm, n_real=None):
+    n = len(idxs) if n_real is None else n_real
+    local[[int(i) for i in idxs[:n]]] = 1
+    return _orig_pad(idxs, bp, bm, n_real)
+loader._pad_batch = _spy
+n_jobs = sum(1 for _ in loader.epoch(0))
+loader._pad_batch = _orig_pad
+both = multihost_utils.process_allgather(local)
+assert int((both[0] & both[1]).sum()) == 0, "host shards overlap!"
+assert int(both.sum()) > 0, "empty shards"
+counts = multihost_utils.process_allgather(np.array([n_jobs]))
+assert int(counts[0, 0]) == int(counts[1, 0]), "job schedules misaligned!"
+
+def to_global(x):
+    sh = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+    gshape = (x.shape[0] * 2,) + x.shape[1:]
+    return jax.make_array_from_process_local_data(sh, x, gshape)
+
+# init from the local batch (init only traces shapes; batch dim is free)
+first = next(iter(loader.epoch(0)))
+state = create_train_state(model, cfg, jax.random.PRNGKey(0), first)
+state = shard_state(state, mesh)
+step = make_train_step(model, cfg, scheduled_sampling=False, donate=False)
+n_steps, audio_s, t0 = 0, 0.0, None
+with mesh:
+    i = 0
+    for epoch in range(100):
+        for batch in loader.epoch(epoch):
+            gb = {k: to_global(v[0]) for k, v in batch.items()}
+            gb = {k: v[None] for k, v in gb.items()}  # accum dim K=1
+            state, metrics = step(state, gb, 1.0, jax.random.PRNGKey(i))
+            jax.block_until_ready(metrics["total"])
+            if i == 1:
+                t0 = time.time()  # skip compile+first step
+            if i > 1:
+                n_steps += 1
+                audio_s += float(np.sum(batch["melspec_lens"])) * 256 / 22050
+            i += 1
+            if i >= 12:
+                break
+        if i >= 12:
+            break
+wall = time.time() - t0
+if pid == 0:
+    print(json.dumps({
+        "disjoint_shards": True,
+        "steps_timed": n_steps,
+        "audio_s_per_s_2proc": round(audio_s * 2 / wall, 2),
+        "loss_final": float(metrics["total"]),
+    }))
+"""
+
+
+def run_two_proc(prep_dir: str) -> dict:
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(
+        os.environ,
+        COORD=f"localhost:{port}",
+        PREP_DIR=prep_dir,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TWO_PROC_WORKER],
+            env={**env, "PROC_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{e[-2000:]}")
+    return json.loads(outs[0][0].strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--two-proc", metavar="PREP_DIR",
+                    help="run the 2-process DP pipeline check on PREP_DIR")
+    ap.add_argument("--out", default="scaling_estimate.json")
+    args = ap.parse_args()
+
+    # container sitecustomize points jax at the TPU; force CPU before init
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    result = {}
+    if args.two_proc:
+        result["two_proc"] = run_two_proc(args.two_proc)
+        print(json.dumps(result["two_proc"]))
+    else:
+        t0 = time.time()
+        hlo, n_params = lower_dp_step_hlo(2)
+        audit = audit_allreduce_bytes(hlo)
+        result = {"audit": audit, **analytic_report(audit, n_params),
+                  "lower_s": round(time.time() - t0, 1)}
+        print(json.dumps(result, indent=2))
+
+    out = Path(args.out)
+    if out.exists():
+        prev = json.loads(out.read_text())
+        prev.update(result)
+        result = prev
+    out.write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,8 +14,13 @@ to a static (phoneme_bucket, mel_bucket) rectangle and batches are formed
 within buckets — bounding the number of compiled programs to
 |phoneme_buckets| x |mel_buckets| while keeping padding waste low.  Batches
 carry a leading grad-accumulation axis (K, B, ...) matching the train step.
-Multi-host: each process takes a strided slice of the item index so hosts
-see disjoint data (jax.process_index()).
+Multi-host: every process builds the IDENTICAL global job schedule (same
+buckets, same RNG), then takes a strided slice of each job's item chunk —
+hosts see disjoint data while job count, order, and bucket shapes stay
+aligned across processes, which is what keeps the per-step GSPMD
+collectives from deadlocking.  (A per-host bucket split would let job
+counts diverge: a 127-item bucket at group 64 yields one job on host 0 and
+zero on host 1.)
 """
 
 from __future__ import annotations
@@ -150,15 +155,14 @@ class BucketedLoader:
                 "dropped %d/%d items exceeding max bucket (%d, %d)",
                 dropped, len(dataset), self.pb[-1], self.mb[-1],
             )
-        # host shard: strided split of each bucket
-        if process_count > 1:
-            self.buckets = {
-                key: idxs[process_index::process_count]
-                for key, idxs in self.buckets.items()
-            }
+        # host shard: jobs are built over the GLOBAL bucket lists (identical
+        # on every process) and each host strides within a job's chunk, so
+        # schedules can never misalign across hosts (see module docstring)
+        self.process_index = process_index
+        self.process_count = process_count
 
     def batches_per_epoch(self) -> int:
-        n, group = 0, self.batch_size * self.k
+        n, group = 0, self.batch_size * self.k * self.process_count
         for idxs in self.buckets.values():
             n += len(idxs) // group if self.drop_last else -(-len(idxs) // group)
         return n
@@ -197,10 +201,16 @@ class BucketedLoader:
         return {name: arr[order] for name, arr in batch.items()}
 
     def epoch(self, epoch_num: int = 0):
-        """Iterate (K, B, ...) batches; deterministic per (seed, epoch)."""
+        """Iterate (K, B, ...) batches; deterministic per (seed, epoch).
+
+        The schedule (shuffles, grouping, job order) is computed over the
+        global index lists with the same seed on every process, so every
+        host sees the same job sequence; only the strided slice of each
+        chunk differs per host.
+        """
         rng = np.random.default_rng(self.seed + epoch_num)
-        group = self.batch_size * self.k
-        jobs: list[tuple[tuple[int, int], list[int]]] = []
+        group = self.batch_size * self.k * self.process_count
+        jobs: list[tuple[tuple[int, int], list[int], int]] = []
         for key, idxs in self.buckets.items():
             idxs = list(idxs)
             if self.shuffle:
@@ -216,7 +226,13 @@ class BucketedLoader:
         if self.shuffle:
             rng.shuffle(jobs)
 
+        pid, pcnt = self.process_index, self.process_count
         for (bp, bm), chunk, n_real in jobs:
+            if pcnt > 1:
+                # strided slice keeps real items (chunk positions < n_real)
+                # ahead of repeat-padding within this host's view
+                chunk = chunk[pid::pcnt]
+                n_real = len(range(pid, n_real, pcnt))
             micro = [
                 self._pad_batch(
                     chunk[m * self.batch_size : (m + 1) * self.batch_size], bp, bm,
