@@ -83,6 +83,64 @@ def _suffix_phones(word: str) -> tuple[str, list[str]] | None:
     return None
 
 
+# Derivational suffixes peeled ONLY over a lexicon stem (directly,
+# e-restored, or un-doubled) — concatenative in CMUdict convention, no
+# stress shift: hope-ful, care-less, wash-able, art-ist, real-ism, dust-y.
+_DERIVATIONAL: list[tuple[str, list[str]]] = [
+    ("ful", ["F", "AH0", "L"]),
+    ("less", ["L", "AH0", "S"]),
+    ("able", ["AH0", "B", "AH0", "L"]),
+    ("ible", ["AH0", "B", "AH0", "L"]),
+    ("ism", ["IH2", "Z", "AH0", "M"]),
+    ("ist", ["AH0", "S", "T"]),
+    ("ish", ["IH0", "SH"]),
+    ("y", ["IY0"]),
+]
+
+
+def _lexicon_stem(base: str) -> list[str] | None:
+    """Lexicon phones for a candidate stem: bare, e-restored ("advis-" ->
+    "advise"), or un-doubled ("sunn-" -> "sun")."""
+    for cand in (base, base + "e",
+                 base[:-1] if len(base) > 2 and base[-1] == base[-2] else None):
+        if cand and cand in _LEXICON:
+            return list(_LEXICON[cand])
+    return None
+
+
+def _demote_primary(phones: list[str]) -> list[str]:
+    """Demote primary stress to secondary (for suffixes that take primary)."""
+    return [p[:-1] + "2" if p.endswith("1") else p for p in phones]
+
+
+def _ation_phones(word: str) -> list[str] | None:
+    """-ation/-ization nominalizations over lexicon stems.
+
+    "form" + ation -> stem phones (primary demoted) + EY1 SH AH0 N;
+    "celebrate" -> final EY2/EY1 T becomes EY1 SH AH0 N;
+    "organize" -> final AY2 Z becomes AH0 Z EY1 SH AH0 N.
+    Stress demotion approximates CMUdict (which often reduces the stem
+    vowel fully, e.g. F AO0 R M EY1 SH AH0 N); phone string is exact for
+    the regular classes, stress level may differ by one."""
+    if len(word) > 6 and word.endswith("ization"):
+        stem = _LEXICON.get(word[:-7] + "ize")
+        if stem and stem[-1] == "Z" and stem[-2].startswith("AY"):
+            return (_demote_primary(list(stem[:-2]))
+                    + ["AH0", "Z", "EY1", "SH", "AH0", "N"])
+    if len(word) > 5 and word.endswith("ation"):
+        # verb stem + -ation ("form", "transport", "confirm")
+        stem = _LEXICON.get(word[:-5])
+        if stem:
+            return _demote_primary(list(stem)) + ["EY1", "SH", "AH0", "N"]
+        # -ate verb ("celebrate" -> "celebration")
+        stem = _LEXICON.get(word[:-3] + "e")
+        if (stem and len(stem) >= 2 and stem[-1] == "T"
+                and stem[-2].startswith("EY")):
+            return (_demote_primary(list(stem[:-2]))
+                    + ["EY1", "SH", "AH0", "N"])
+    return None
+
+
 def _er_est_stem(word: str, n: int) -> str | None:
     """Lexicon stem for a comparative/superlative: bare ("tight-er"),
     e-restored ("larg-er" -> "large"), un-doubled ("bigg-er" -> "big"),
@@ -160,6 +218,15 @@ def rule_letter_to_sound(word: str) -> list[str]:
         if cand:
             suf = ["ER0"] if n == 2 else ["AH0", "S", "T"]
             return list(_LEXICON[cand]) + suf
+    ation = _ation_phones(word)
+    if ation is not None:
+        return ation
+    for suf, sufph in _DERIVATIONAL:
+        # lexicon-stem-only derivational peel; stems must be >= 3 letters
+        if len(word) > len(suf) + 2 and word.endswith(suf):
+            stem = _lexicon_stem(word[: -len(suf)])
+            if stem:
+                return stem + sufph
     peeled = _suffix_phones(word)
     if peeled is not None:
         stem, suf = peeled
