@@ -305,6 +305,7 @@ def _megakernel_decode_batched(
     from transformertts_tpu.models.modules import sinusoid_table
     from transformertts_tpu.ops.pallas.decode_step import (
         decode_step_batched,
+        expand_cross_bias,
         pack_decode_weights,
     )
 
@@ -324,7 +325,8 @@ def _megakernel_decode_batched(
     # (L, B, Tp, H, dh) -> (L, H, B, Tp, dh)
     ck = jnp.stack([kv[0] for kv in cross_kv]).transpose(0, 3, 1, 2, 4)
     cv = jnp.stack([kv[1] for kv in cross_kv]).transpose(0, 3, 1, 2, 4)
-    cbias = cross_bias[:, 0, 0, :].astype(jnp.float32)  # (B, Tp)
+    # (B, Tp) -> block-diagonal (B, B*Tp); loop-invariant, built once here
+    cbias = expand_cross_bias(cross_bias[:, 0, 0, :].astype(jnp.float32))
 
     init = {
         "t": jnp.zeros((), jnp.int32),

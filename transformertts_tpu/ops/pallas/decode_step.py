@@ -20,12 +20,14 @@ Layout rules that make this lower on current Mosaic:
   reshapes (D, D) projections to (H, D, Dh) on the host (lane-dim slices
   at 64 alignment are rejected);
 - all matmuls keep operands in bf16 with fp32 accumulation;
-- the default kernel is batch-1 (the single-stream latency path); an
-  EXPERIMENTAL batched variant (``decode_step_batched``, caches laid out
-  (L, H, B, T, dh), leading-batch-dim dot_generals) is reachable by
-  forcing ``use_megakernel=True`` — the auto gate stays batch-1 until the
-  batched lowering is benchmarked on hardware.  Large batches stay on the
-  XLA loop, which amortizes dispatch across rows.
+- the default kernel is batch-1 (the single-stream latency path); the
+  batched variant (``decode_step_batched``) flattens caches to
+  (L, H, B*T, dh) and runs each head's attention as ONE 2-D score matmul
+  with a block mask — the same op structure as batch-1, so Mosaic code
+  size stays flat in B (the earlier leading-batch-dim dot_general version
+  unrolled per batch element into a 5.2 MB module).  The auto gate
+  (``decode_megakernel_max_batch``) decides batched-kernel vs the XLA
+  loop, which amortizes dispatch across rows at large batch.
 
 Numerics match DecoderLayer.cached_step (post-LN, fp32 softmax/LN) to
 bf16 tolerance; oracle equivalence is tested in tests/test_decode_step.py.
@@ -289,6 +291,20 @@ def decode_step_fits(cfg, n_pos: int, tp: int, batch: int = 1) -> bool:
 
 # --------------------------------------------------------------- batched
 
+def expand_cross_bias(cross_bias: jnp.ndarray) -> jnp.ndarray:
+    """(B, Tp) additive key bias -> (B, B*Tp) block-diagonal bias for the
+    batched kernel's flattened cross-caches: row b keeps its own bias over
+    its cache segment [b*Tp, (b+1)*Tp) and NEG_INF everywhere else.
+
+    Loop-invariant across decode steps — callers build it ONCE per
+    utterance batch, outside the while_loop."""
+    b, tp = cross_bias.shape
+    eye = jnp.eye(b, dtype=cross_bias.dtype)  # (B, B)
+    full = eye[:, :, None] * cross_bias[None, :, :]  # (B, B, Tp) on-block bias
+    off = (1.0 - eye)[:, :, None] * NEG_INF
+    return (full + off).reshape(b, b * tp)
+
+
 def _kernel_batched(
     t_ref,
     frame_ref, pe_ref, cross_bias_ref, kc_ref, vc_ref, ck_ref, cv_ref,
@@ -298,36 +314,35 @@ def _kernel_batched(
     W1, B1, W2, B2, ln_g, ln_b,
     head_w, head_b,
     y_ref, knew_ref, vnew_ref,
-    *, n_layers, n_heads, scale, dtype,
+    *, n_layers, n_heads, n_pos, scale, dtype,
 ):
-    """Batched (B, ...) variant: dense work runs as (B, D) matmuls, the
-    per-head attentions as leading-batch-dim dot_generals against
-    (B, T, dh) caches — no sublane slicing anywhere.  Caches are laid out
-    (L, H, B, T, dh) so per-(layer, head) reads stay leading-dim."""
+    """Batched (B, ...) variant, restructured after the first lowering
+    (leading-batch-dim dot_generals) produced a 5.2 MB MLIR module that
+    Mosaic unrolled per batch element and the compile service rejected.
+
+    This version uses ONLY 2-D matmuls — identical op structure to the
+    batch-1 kernel, so code size stays ~batch-1 regardless of B:
+    caches arrive flattened (L, H, B*T, dh) and each head's attention is
+    one (B, dh) x (dh, B*T) score matmul with a BLOCK mask (row b only
+    sees columns [b*n_pos, b*n_pos + t)); cross-attention gets the same
+    treatment via the precomputed block-diagonal ``expand_cross_bias``.
+    The off-block score work is wasted FLOPs ((B-1)x on the attention
+    matmuls only) — cheap next to weight streaming at the B<=8 sizes the
+    VMEM gate admits."""
     t = t_ref[0]
-    n_pos = kc_ref.shape[3]
     b = frame_ref.shape[0]
-
-    def bqk(q3, k3):  # (B, 1, dh) x (B, T, dh) -> (B, 1, T)
-        return jax.lax.dot_general(
-            q3, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-
-    def bpv(p3, v3):  # (B, 1, T) x (B, T, dh) -> (B, 1, dh)
-        return jax.lax.dot_general(
-            p3, v3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+    bn = kc_ref.shape[2]  # B * n_pos (flattened)
 
     x = frame_ref[...].astype(dtype)
     x = jnp.maximum(_dot(x, pw1[...]) + pb1[...].astype(jnp.float32), 0.0)
     x = jnp.maximum(_dot(x.astype(dtype), pw2[...]) + pb2[...].astype(jnp.float32), 0.0)
     x = (x + pe_ref[...].astype(jnp.float32)).astype(dtype)  # (B, D)
 
-    pos_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, 1, n_pos), 2) < t
-    )
+    # Row b attends to flattened columns [b*n_pos, b*n_pos + t).
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, bn), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, bn), 1)
+    base = row * n_pos
+    pos_mask = (col >= base) & (col < base + t)
 
     for li in range(n_layers):
         # ---- self-attention: cached prefix + current position, per head
@@ -339,32 +354,40 @@ def _kernel_batched(
             vn = _dot(x, sWv[li, h]) + sbv[li, h].astype(jnp.float32)
             knew_ref[li, h] = kn.astype(knew_ref.dtype)
             vnew_ref[li, h] = vn.astype(vnew_ref.dtype)
-            q3 = q.astype(dtype)[:, None, :]  # (B, 1, dh)
-            s = bqk(q3, kc_ref[li, h])  # (B, 1, n_pos) fp32
+            qb = q.astype(dtype)
+            s = jax.lax.dot_general(  # (B, B*n_pos) fp32
+                qb, kc_ref[li, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             s = jnp.where(pos_mask, s, NEG_INF)
             s_cur = jnp.sum(q * kn, axis=1, keepdims=True)  # (B, 1)
-            m = jnp.maximum(jnp.max(s, axis=2), s_cur)  # (B, 1)
-            e = jnp.exp(s - m[:, :, None])
+            m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
+            e = jnp.exp(s - m)
             e_cur = jnp.exp(s_cur - m)  # (B, 1)
-            denom = jnp.sum(e, axis=2) + e_cur  # (B, 1)
-            ctx = bpv(e.astype(dtype), vc_ref[li, h])[:, 0, :]  # (B, dh)
+            denom = jnp.sum(e, axis=1, keepdims=True) + e_cur
+            ctx = _dot(e.astype(dtype), vc_ref[li, h])  # (B, dh)
             ctx = (ctx + e_cur * vn) / denom
             o = o + _dot(ctx.astype(dtype), sWo[li, h])
         o = o + sbo[li][...].astype(jnp.float32)
         x32 = _layer_norm(resid + o, ln_g[li, 0], ln_b[li, 0])
         x = x32.astype(dtype)
 
-        # ---- cross-attention over the encoder memory
+        # ---- cross-attention over the encoder memory (block-diag bias
+        # carries both padding AND cross-row masking)
         resid = x32
         o = jnp.zeros_like(resid)
         for h in range(n_heads):
             q = (_dot(x, cWq[li, h]) + cbq[li, h].astype(jnp.float32)) * scale
-            s = bqk(q.astype(dtype)[:, None, :], ck_ref[li, h])  # (B, 1, Tp)
-            s = s + cross_bias_ref[...].astype(jnp.float32)[:, None, :]
-            m = jnp.max(s, axis=2, keepdims=True)
+            s = jax.lax.dot_general(  # (B, B*Tp) fp32
+                q.astype(dtype), ck_ref[li, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + cross_bias_ref[...].astype(jnp.float32)
+            m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            ctx = bpv(e.astype(dtype), cv_ref[li, h])[:, 0, :]
-            ctx = ctx / jnp.sum(e, axis=2)
+            ctx = _dot(e.astype(dtype), cv_ref[li, h]) / jnp.sum(
+                e, axis=1, keepdims=True
+            )
             o = o + _dot(ctx.astype(dtype), cWo[li, h])
         o = o + cbo[li][...].astype(jnp.float32)
         x32 = _layer_norm(resid + o, ln_g[li, 1], ln_b[li, 1])
@@ -384,7 +407,7 @@ def decode_step_batched(
     t: jnp.ndarray,  # () int32
     frame: jnp.ndarray,  # (B, n_mels)
     pe_row: jnp.ndarray,  # (1, D)
-    cross_bias: jnp.ndarray,  # (B, Tp)
+    cross_bias_exp: jnp.ndarray,  # (B, B*Tp) — expand_cross_bias output
     self_k: jnp.ndarray,  # (L, H, B, n_pos, dh)
     self_v: jnp.ndarray,
     cross_k: jnp.ndarray,  # (L, H, B, Tp, dh)
@@ -393,16 +416,21 @@ def decode_step_batched(
     interpret: bool = False,
 ):
     """Batched decode step; returns (y (B, n_mels*r + r), k_new/v_new
-    (L, H, B, dh)).  EXPERIMENTAL: opt-in via use_megakernel=True — the
-    auto gate stays batch-1 until the leading-batch dot_generals are
-    benchmarked on hardware."""
+    (L, H, B, dh)).  Caches keep the (L, H, B, T, dh) HBM layout the
+    caller scatters into; they are view-reshaped to (L, H, B*T, dh) here
+    so the kernel runs pure 2-D matmuls (see _kernel_batched)."""
     L, H, b, n_pos, dh = self_k.shape
+    tp = cross_k.shape[3]
     d_out = packed["head_w"].shape[1]
     dtype = packed["pw1"].dtype
     scale = dh ** -0.5
 
+    flat = lambda a: a.reshape(L, H, -1, dh)  # noqa: E731 — contiguous, free
     whole = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0,) * a.ndim)  # noqa: E731
-    data = [frame, pe_row, cross_bias, self_k, self_v, cross_k, cross_v]
+    data = [
+        frame, pe_row, cross_bias_exp,
+        flat(self_k), flat(self_v), flat(cross_k), flat(cross_v),
+    ]
     weights = [packed[k] for k in _PACK_ORDER]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -416,7 +444,8 @@ def decode_step_batched(
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel_batched, n_layers=L, n_heads=H, scale=scale, dtype=dtype
+            _kernel_batched,
+            n_layers=L, n_heads=H, n_pos=n_pos, scale=scale, dtype=dtype,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -425,5 +454,4 @@ def decode_step_batched(
             jax.ShapeDtypeStruct((L, H, b, dh), self_v.dtype),
         ],
         interpret=interpret,
-    )(t.reshape(1), frame, pe_row, cross_bias, self_k, self_v, cross_k,
-      cross_v, *weights)
+    )(t.reshape(1), *data, *weights)
