@@ -94,3 +94,38 @@ def test_stop_recall_tolerant_ignores_padding_rows():
     assert float(m["stop_recall"]) == 1.0
     assert float(m["stop_recall_2"]) == 1.0
     assert float(m["stop_recall_2"]) >= float(m["stop_recall"])
+
+
+def test_mcd_dtw_zero_for_identical():
+    from transformertts_tpu.train.metrics import mcd_dtw
+
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(50, 80)).astype(np.float32)
+    assert mcd_dtw(mel, mel) < 1e-3
+
+
+def test_mcd_dtw_forgives_tempo_warp():
+    """A 2x time-stretched copy of the same spectral content: frame-wise
+    MCD explodes (it compares mismatched phones), DTW-MCD stays ~0 — the
+    property that makes it the fair free-running metric."""
+    from transformertts_tpu.train.metrics import mcd_dtw, mel_cepstral_distortion
+
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(40, 80)).astype(np.float32)
+    slow = np.repeat(mel, 2, axis=0)  # (80, 80): each frame held twice
+    m = mel.shape[0]
+    framewise = float(
+        mel_cepstral_distortion(slow[None, :m], mel[None], np.array([m]))
+    )
+    aligned = mcd_dtw(slow, mel)
+    assert aligned < 1e-3
+    assert framewise > 10.0
+
+
+def test_mcd_dtw_positive_for_different_content():
+    from transformertts_tpu.train.metrics import mcd_dtw
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(30, 80)).astype(np.float32)
+    b = rng.normal(size=(45, 80)).astype(np.float32)
+    assert mcd_dtw(a, b) > 1.0

@@ -219,10 +219,11 @@ class Trainer:
         avg.update(self._free_running_eval(epoch))
         self.log.info(
             "epoch %d val: loss %.4f | mel_l1 %.4f | diagonality %.3f | "
-            "free mel_l1 %.4f mcd %.2f len %.2f",
+            "free mel_l1 %.4f mcd %.2f mcd_dtw %.2f len %.2f",
             epoch, avg.get("total", float("nan")), avg.get("mel_l1", float("nan")),
             avg.get("diagonality", float("nan")),
             avg.get("free_mel_l1", float("nan")), avg.get("free_mcd", float("nan")),
+            avg.get("free_mcd_dtw", float("nan")),
             avg.get("free_len_ratio", float("nan")),
         )
         return avg.get("total", float("inf")), avg
@@ -273,8 +274,11 @@ class Trainer:
 
         # metrics over min(pred_len, true_len); decode already returns the
         # per-row stop-vote lengths (infer/decode.py:per_row_lengths)
-        mel_l1, mcd, len_ratio = [], [], []
-        from transformertts_tpu.train.metrics import mel_cepstral_distortion
+        mel_l1, mcd, mcd_d, len_ratio = [], [], [], []
+        from transformertts_tpu.train.metrics import (
+            mcd_dtw,
+            mel_cepstral_distortion,
+        )
 
         for i, item in enumerate(items):
             pred_len = max(int(out["n_frames_per_row"][i]), 1)
@@ -285,10 +289,15 @@ class Trainer:
             mcd.append(float(mel_cepstral_distortion(
                 pred[None], true[None, :m], np.array([m], np.int32)
             )))
+            # DTW-aligned MCD over the FULL prediction (no crop): free
+            # decode has no timing anchor, so the frame-wise number above
+            # confounds pacing drift with spectral error (metrics.mcd_dtw)
+            mcd_d.append(mcd_dtw(out["post_melspec"][i, :pred_len], true))
             len_ratio.append(pred_len / max(true.shape[0], 1))
         return {
             "free_mel_l1": float(np.mean(mel_l1)),
             "free_mcd": float(np.mean(mcd)),
+            "free_mcd_dtw": float(np.mean(mcd_d)),
             "free_len_ratio": float(np.mean(len_ratio)),
         }
 
