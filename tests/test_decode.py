@@ -108,3 +108,27 @@ def test_decode_reports_per_row_lengths(setup):
     np.testing.assert_array_equal(
         np.asarray(out["n_frames_per_row"]), [MAX_LEN, MAX_LEN]
     )
+
+
+def test_infer_prenet_dropout_runs_and_differs(setup):
+    """runtime.infer_prenet_dropout > 0: decode runs on the XLA loop with
+    fresh per-step masks and produces a different (stochastic) trajectory
+    than the deterministic reference path; forcing the megakernel errors."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    model, variables, phoneme, lens = setup
+    base = make_decode_fn(model, CFG, max_len=8, stop_threshold=2.0,
+                          use_megakernel=False)(variables, phoneme, lens)
+    cfg_d = CFG.replace(
+        runtime=dataclasses.replace(CFG.runtime, infer_prenet_dropout=0.5))
+    out = make_decode_fn(model, cfg_d, max_len=8, stop_threshold=2.0,
+                         use_megakernel=False)(variables, phoneme, lens)
+    assert out["pred_melspec"].shape == base["pred_melspec"].shape
+    assert not np.allclose(
+        np.asarray(out["pred_melspec"]), np.asarray(base["pred_melspec"]),
+        atol=1e-4)
+    with _pytest.raises(ValueError):
+        make_decode_fn(model, cfg_d, max_len=8, use_megakernel=True)(
+            variables, phoneme, lens)

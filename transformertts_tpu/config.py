@@ -186,6 +186,13 @@ class RuntimeConfig:
     mel_buckets: tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896)
     infer_max_len: int = 1500  # ref: model/model.py:328
     stop_threshold: float = 0.5
+    # Tacotron-2-style inference-time decoder-prenet dropout rate (fresh
+    # Bernoulli masks every decode step).  The reference runs the prenet
+    # deterministically at inference (model/model.py:342) — 0.0 keeps that.
+    # >0 is an opt-in free-running stabilizer: the decoder is forced to
+    # lean on the attention context rather than its own (blurry) frame
+    # history.  XLA-loop decode path only (megakernel auto-gate turns off).
+    infer_prenet_dropout: float = 0.0
 
     def validate(self) -> None:
         if self.compute_dtype not in ("bfloat16", "float32"):

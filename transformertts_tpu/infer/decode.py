@@ -59,6 +59,27 @@ def per_row_lengths(
     return jnp.where(has_vote, first + 1, n_frames).astype(jnp.int32)
 
 
+def _prenet_dropout_step(params, frame, t, rate, key, pe_table, dtype):
+    """Decoder prenet with LIVE dropout (fresh masks each step) + scaled PE.
+
+    Mirrors TransformerTTS.prenet_step / DecoderPreNet exactly except the
+    two dropouts stay active (keep-prob scaling like flax nn.Dropout).
+    The reference disables prenet dropout at inference (model/model.py:342);
+    this is the Tacotron-2-style opt-in behind runtime.infer_prenet_dropout."""
+    pn = params["dec_prenet"]
+    x = frame.astype(dtype)
+    for i in range(2):
+        lyr = pn[f"LinearNorm_{i}"]["Dense_0"]
+        x = jnp.maximum(x @ lyr["kernel"].astype(dtype) + lyr["bias"].astype(dtype), 0)
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(key, 2 * t + i), 1.0 - rate, x.shape
+        )
+        x = jnp.where(keep, x / (1.0 - rate), 0.0)
+    alpha = params["pe"]["alpha"].astype(jnp.float32)
+    pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)  # (1, D)
+    return (x.astype(jnp.float32) + alpha * pe_row).astype(dtype)
+
+
 def make_decode_fn(
     model: TransformerTTS,
     cfg: Config,
@@ -108,13 +129,20 @@ def make_decode_fn(
         from transformertts_tpu.ops.pallas.decode_step import decode_step_fits
 
         on_tpu = jax.default_backend() == "tpu"
+        pdrop = float(cfg.runtime.infer_prenet_dropout)
         mega = use_megakernel
         if mega is None:
             mega = (
                 cfg.runtime.use_pallas_decode_step
                 and on_tpu
+                and pdrop == 0.0  # live-dropout prenet is XLA-loop only
                 and b <= cfg.runtime.decode_megakernel_max_batch
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1], batch=b)
+            )
+        if mega and pdrop > 0.0:
+            raise ValueError(
+                "runtime.infer_prenet_dropout > 0 requires the XLA decode "
+                "loop (use_megakernel must not be forced True)"
             )
         if mega and b > 1:
             # batched kernel — auto-gated by decode_megakernel_max_batch
@@ -140,11 +168,25 @@ def make_decode_fn(
         def cond(s):
             return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
 
+        if pdrop > 0.0:
+            from transformertts_tpu.models.modules import sinusoid_table
+
+            pe_table = jnp.asarray(
+                sinusoid_table(cfg.model.max_len, cfg.model.d_model)
+            )
+            pdrop_key = jax.random.PRNGKey(cfg.training.seed ^ 0x5EED)
+
         def body(s):
             t = s["t"]
             # input: go frame at t=0, else last frame of the previous group
             frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)
-            x = bound.prenet_step(frame, t)  # (B, 1, D)
+            if pdrop > 0.0:
+                x = _prenet_dropout_step(
+                    variables["params"], frame, t, pdrop, pdrop_key,
+                    pe_table, dtype,
+                )
+            else:
+                x = bound.prenet_step(frame, t)  # (B, 1, D)
 
             self_bias = _self_bias_at(t, n_pos)
             self_k, self_v = s["self_k"], s["self_v"]
