@@ -13,6 +13,13 @@ g2p_en is not guaranteed to be installed, so this module provides:
   Coverage on LJSpeech-register text is measured by tools/g2p_coverage.py.
 - ``phonemize(transcript, g2p)`` -> (phonemes, sequence) mirroring
   ref audio.py:54-59.
+
+Known limitation — heteronyms: g2p_en disambiguates words like "read" /
+"lead" / "live" / "bass" / "wind" by POS-tagging the sentence; the
+fallback has ONE pronunciation per lexicon entry (the more frequent form)
+and no POS model, so heteronyms resolve to that single form regardless of
+context.  Measured rule-LTS phoneme error rate vs hand-graded CMUdict
+references is tracked by tools/g2p_per.py (PARITY.md has the number).
 """
 
 from __future__ import annotations
