@@ -1,11 +1,12 @@
-"""Hardware A/B of the EXPERIMENTAL batched decode megakernel (ROADMAP 10).
+"""Hardware A/B of the batched decode megakernel (ROADMAP 10).
 
 For B in {1, 2, 4, 8}: KV-cached decode with use_megakernel=True (the
-batched Pallas decode-step kernel, ops/pallas/decode_step.py:285-424 —
-leading-batch-dim dot_generals, never yet run on hardware) vs False (the
-XLA per-op loop).  Per-B Mosaic compile failures are caught and recorded
-(the open question is whether Mosaic lowers the leading-batch dots at
-all).  Prints a table + writes ab_decode_batched.json.
+batched Pallas decode-step kernel, ops/pallas/decode_step.py — round-3
+restructure: flattened (L, H, B*T, dh) caches + 2-D block-masked score
+matmuls, module size flat in B; the earlier leading-batch-dim dot_general
+version unrolled to 5.2 MB of MLIR and the compile service 500'd) vs
+False (the XLA per-op loop).  Per-B compile failures are caught and
+recorded.  Prints a table + writes ab_decode_batched.json.
 
 Run on the real chip:  python tools/ab_decode_batched.py
 """
