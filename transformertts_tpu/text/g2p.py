@@ -286,9 +286,17 @@ class _FallbackG2p:
     """Built-in lexicon + rules G2P, used when g2p_en is unavailable."""
 
     def __call__(self, text: str) -> list[str]:
+        from transformertts_tpu.text.heteronyms import heteronym_phones
+
         # g2p_en contract: ``' '`` after every token (words AND punctuation),
         # trailing separator stripped.
         tokens = _WORD_RE.findall(_normalize_text(text))
+        # word-level context for heteronym rules: neighboring WORDS only
+        # (punctuation skipped), lowercase, possessive quotes stripped
+        words = [
+            w for t in tokens if t not in PUNCTUATION if (w := t.strip("'"))
+        ]
+        widx = 0
         out: list[str] = []
         for tok in tokens:
             if tok in PUNCTUATION:
@@ -297,7 +305,13 @@ class _FallbackG2p:
                 word = tok.strip("'")
                 if not word:
                     continue
-                out.extend(_LEXICON.get(word) or rule_letter_to_sound(word))
+                prev = words[widx - 1] if widx > 0 else None
+                nxt = words[widx + 1] if widx + 1 < len(words) else None
+                widx += 1
+                phones = heteronym_phones(word, prev, nxt)
+                out.extend(
+                    phones or _LEXICON.get(word) or rule_letter_to_sound(word)
+                )
             out.append(" ")
         return out[:-1] if out else out
 

@@ -1,0 +1,192 @@
+"""Context-rule heteronym disambiguation for the fallback g2p.
+
+The reference's frontend (g2p_en, ref audio.py:54-59) disambiguates
+heteronyms — words whose pronunciation depends on their grammatical role
+("read", "lead", "live", "record", ...) — with a sentence POS tagger.
+The built-in fallback has one pronunciation per lexicon entry; this
+module recovers the most common contrasts with neighbor-word trigger
+rules, no POS model:
+
+- each rule is (prev-word triggers, next-word triggers, phones); the
+  FIRST rule whose trigger matches wins;
+- no match -> ``None`` and the caller falls through to the lexicon
+  entry, so behavior only changes when a trigger fires (golden outputs
+  for trigger-free sentences are untouched);
+- for heteronyms absent from the lexicon (bass, dove, sow) a default is
+  provided here.
+
+Two shared trigger sets approximate POS: ``_V`` (infinitive/modal
+context -> verb reading) and ``_N`` (determiner/possessive context ->
+noun reading).  Word-specific semantic triggers (e.g. "lead pipe",
+"live broadcast") are spelled per word.
+"""
+
+from __future__ import annotations
+
+# modal / infinitive context: the next word is (almost always) a verb
+_V = frozenset(
+    "to will would can could may might shall should must don't doesn't "
+    "didn't won't cannot can't".split()
+)
+# determiner / possessive context: the next word is a noun (or adj+noun)
+_N = frozenset(
+    "a an the this that these those its his her their our my your of no "
+    "any some each every".split()
+)
+
+# word -> list of (prev_triggers | None, next_triggers | None, phones);
+# first match wins; None = that side never triggers the rule.
+_RULES: dict[str, list[tuple[frozenset | None, frozenset | None, list[str]]]] = {
+    # ---- vowel-quality contrasts
+    # lexicon default: R EH1 D (past — narration register)
+    "read": [(_V, None, ["R", "IY1", "D"])],
+    # lexicon default: L IY1 D (verb/guide); metal in compounds
+    "lead": [
+        (frozenset({"molten", "of"}),
+         frozenset("pipe pipes poisoning paint pencil pencils shot ore "
+                   "oxide weights".split()),
+         ["L", "EH1", "D"]),
+    ],
+    # lexicon default: L IH1 V (verb); adjective before media nouns
+    "live": [
+        (None,
+         frozenset("broadcast broadcasts music audience performance "
+                   "performances show shows television coverage stream "
+                   "streaming wire wires ammunition animals".split()),
+         ["L", "AY1", "V"]),
+    ],
+    # lexicon default: W IH1 N D (noun); verb in phrasal "wind up/down"
+    "wind": [
+        (None, frozenset({"up", "down", "through", "around"}),
+         ["W", "AY1", "N", "D"]),
+    ],
+    # lexicon default: B AW1 (bend); weapon/knot before "and arrow"/"tie"
+    "bow": [
+        (frozenset({"violin", "fiddle"}), frozenset({"and", "tie", "ties"}),
+         ["B", "OW1"]),
+    ],
+    # lexicon default: T EH1 R (rip); eye-tear in weeping contexts
+    "tear": [
+        (frozenset({"shed", "single"}),
+         frozenset({"rolled", "fell", "ran", "drops"}),
+         ["T", "IH1", "R"]),
+    ],
+    # lexicon default: W UW1 N D (injury); past-of-wind in phrasal use
+    "wound": [
+        (None, frozenset({"up", "down", "around", "through"}),
+         ["W", "AW1", "N", "D"]),
+    ],
+    # lexicon default: M IH1 N AH0 T (time); adjective "tiny" before
+    # quantity nouns
+    "minute": [
+        (None,
+         frozenset("amount amounts quantity quantities particle particles "
+                   "detail details trace traces fraction difference "
+                   "differences".split()),
+         ["M", "AY0", "N", "UW1", "T"]),
+    ],
+    # lexicon default: K L OW1 S (adj); verb before an object
+    "close": [
+        (_V, frozenset({"the", "a", "an", "it", "them", "his", "her",
+                        "their", "your", "down"}),
+         ["K", "L", "OW1", "Z"]),
+    ],
+    # lexicon default: Y UW1 S (noun); verb after modals / before object
+    "use": [
+        (_V, frozenset({"it", "them", "this", "that", "these", "those",
+                        "a", "an", "the", "his", "her", "its", "their",
+                        "your", "our"}),
+         ["Y", "UW1", "Z"]),
+    ],
+    # ---- noun/verb stress shifts (lexicon default noted per word)
+    # default: noun R EH1 K ER0 D
+    "record": [(_V, None, ["R", "IH0", "K", "AO1", "R", "D"])],
+    # default: noun/adj P R EH1 Z AH0 N T
+    "present": [(_V, None, ["P", "R", "IH0", "Z", "EH1", "N", "T"])],
+    # default: verb P R AH0 D UW1 S
+    "produce": [(_N, None, ["P", "R", "OW1", "D", "UW0", "S"])],
+    # default: noun P R AA1 JH EH0 K T
+    "project": [(_V, None, ["P", "R", "AH0", "JH", "EH1", "K", "T"])],
+    # default: noun AA1 B JH EH0 K T
+    "object": [(_V, None, ["AH0", "B", "JH", "EH1", "K", "T"])],
+    # default: noun S AH1 B JH IH0 K T
+    "subject": [(_V, None, ["S", "AH0", "B", "JH", "EH1", "K", "T"])],
+    # default: noun K AA1 N T EH0 N T; adjective after copulas
+    "content": [
+        (frozenset("is are was were been am be seem seems seemed feel "
+                   "feels felt quite very so".split()), None,
+         ["K", "AH0", "N", "T", "EH1", "N", "T"]),
+    ],
+    # default: noun D EH1 Z ER0 T
+    "desert": [(_V, None, ["D", "IH0", "Z", "ER1", "T"])],
+    # default: verb R IH0 F Y UW1 Z; garbage after determiners
+    "refuse": [(_N, None, ["R", "EH1", "F", "Y", "UW2", "S"])],
+    # default: verb P ER0 M IH1 T
+    "permit": [(_N, None, ["P", "ER1", "M", "IH0", "T"])],
+    # default: noun K AA1 N D AH0 K T
+    "conduct": [(_V, None, ["K", "AH0", "N", "D", "AH1", "K", "T"])],
+    # default: noun K AA1 N T R AE2 K T
+    "contract": [(_V, None, ["K", "AH0", "N", "T", "R", "AE1", "K", "T"])],
+    # default: verb K AH0 N V ER1 T
+    "convert": [(_N, None, ["K", "AA1", "N", "V", "ER0", "T"])],
+    # default: verb IH0 N K R IY1 S
+    "increase": [(_N, None, ["IH1", "N", "K", "R", "IY2", "S"])],
+    # default: verb D IH0 K R IY1 S
+    "decrease": [(_N, None, ["D", "IH1", "K", "R", "IY2", "S"])],
+    # ---- -ate noun/adj vs verb (default noted per word)
+    # default: noun EH1 S T AH0 M AH0 T
+    "estimate": [(_V, None, ["EH1", "S", "T", "AH0", "M", "EY2", "T"])],
+    # default: adj S EH1 P ER0 IH0 T
+    "separate": [(_V, None, ["S", "EH1", "P", "ER0", "EY2", "T"])],
+    # default: adj M AA1 D ER0 AH0 T
+    "moderate": [(_V, None, ["M", "AA1", "D", "ER0", "EY2", "T"])],
+    # default: adj D IH0 L IH1 B ER0 AH0 T
+    "deliberate": [(_V, None, ["D", "IH0", "L", "IH1", "B", "ER0", "EY2", "T"])],
+    # default: adj IH0 L AE1 B ER0 AH0 T
+    "elaborate": [(_V, None, ["IH0", "L", "AE1", "B", "ER0", "EY2", "T"])],
+    # default: verb AH0 S OW1 S IY0 EY2 T; noun after determiners
+    "associate": [(_N, None, ["AH0", "S", "OW1", "S", "IY0", "AH0", "T"])],
+    # default: verb AE1 D V AH0 K EY2 T; noun after determiners
+    "advocate": [(_N, None, ["AE1", "D", "V", "AH0", "K", "AH0", "T"])],
+    # default: adj AO1 L T ER0 N EY2 T (lexicon keeps EY2 T) — verb same
+    # surface; noun/adj AH0 T after determiners
+    "alternate": [(_N, None, ["AO1", "L", "T", "ER0", "N", "AH0", "T"])],
+}
+
+# heteronyms with no lexicon entry: default used when no rule fires
+_DEFAULTS: dict[str, list[str]] = {
+    "bass": ["B", "EY1", "S"],       # music register default
+    "dove": ["D", "AH1", "V"],       # the bird
+    "sow": ["S", "OW1"],             # to plant
+    "graduate": ["G", "R", "AE1", "JH", "AH0", "W", "AH0", "T"],
+    "duplicate": ["D", "UW1", "P", "L", "AH0", "K", "AH0", "T"],
+    "delegate": ["D", "EH1", "L", "AH0", "G", "AH0", "T"],
+}
+_RULES["bass"] = [
+    (frozenset({"striped", "sea", "largemouth", "smallmouth"}),
+     frozenset({"fishing", "fish"}), ["B", "AE1", "S"]),
+]
+_RULES["dove"] = [
+    (None, frozenset({"into", "in", "under", "down", "off", "beneath",
+                      "toward", "towards", "overboard"}),
+     ["D", "OW1", "V"]),
+]
+_RULES["graduate"] = [(_V, None, ["G", "R", "AE1", "JH", "UW0", "EY2", "T"])]
+_RULES["duplicate"] = [(_V, None, ["D", "UW1", "P", "L", "AH0", "K", "EY2", "T"])]
+_RULES["delegate"] = [(_V, None, ["D", "EH1", "L", "AH0", "G", "EY2", "T"])]
+
+
+def heteronym_phones(
+    word: str, prev: str | None, nxt: str | None
+) -> list[str] | None:
+    """Phones for ``word`` given its neighboring WORDS (lowercase, no
+    punctuation), or None to fall through to the lexicon/LTS path."""
+    rules = _RULES.get(word)
+    if rules is None:
+        return None
+    for prev_trig, next_trig, phones in rules:
+        if prev_trig is not None and prev is not None and prev in prev_trig:
+            return list(phones)
+        if next_trig is not None and nxt is not None and nxt in next_trig:
+            return list(phones)
+    return list(_DEFAULTS[word]) if word in _DEFAULTS else None
