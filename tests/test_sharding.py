@@ -102,3 +102,30 @@ def test_tp_decode(corpus=None):
     np.testing.assert_allclose(
         np.asarray(out["pred_melspec"]), np.asarray(ref["pred_melspec"]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 4), (1, 8)])
+def test_sequence_parallel_train_step(n_data, n_model):
+    """Sequence parallelism (runtime.shard_sequence, SURVEY §5.7): mel and
+    phoneme TIME axes sharded over the 'model' axis run the full train
+    step and match the replicated numerics."""
+    cfg = tiny_config()
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(2)
+    batch = synthetic_batch(rng, k=1, b=8)
+    assert batch["melspec"].shape[2] % n_model == 0  # even T shards
+
+    step = make_train_step(model, cfg, scheduled_sampling=False, donate=False)
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    _, m_ref = step(state0, batch, 1.0, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(n_data, n_model)
+    state_sh = shard_state(
+        create_train_state(model, cfg, jax.random.PRNGKey(0), batch), mesh
+    )
+    with mesh:
+        sharded = shard_batch(batch, mesh, shard_sequence=True)
+        # time axes actually sharded over 'model'
+        assert "model" in str(sharded["melspec"].sharding.spec)
+        _, m_sp = step(state_sh, sharded, 1.0, jax.random.PRNGKey(1))
+    assert abs(float(m_ref["total"]) - float(m_sp["total"])) < 1e-4

@@ -180,6 +180,15 @@ class RuntimeConfig:
     prng_impl: str = "rbg"  # "threefry2x32" | "rbg"
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
+    # Sequence parallelism (long-context training, SURVEY.md §5.7): shard
+    # the mel/phoneme TIME axes over the SAME mesh axis TP uses
+    # (Megatron-SP layout).  Pointwise work (prenets, LN, FFN, convs,
+    # heads, loss) stays T-sharded — activation memory per device drops
+    # ~mesh_model-fold along T — and GSPMD inserts all-gathers where
+    # attention needs the full sequence.  Off by default: the reference
+    # task's sequences (<=896 frames) don't need it; validated on the
+    # 8-device CPU mesh like TP (tests/test_sharding.py).
+    shard_sequence: bool = False
     # Static (phoneme, mel) padded-length buckets to bound recompilation
     # under jit (SURVEY.md §7 hard part (v)).
     phoneme_buckets: tuple[int, ...] = (32, 64, 96, 128, 192)

@@ -77,16 +77,36 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, state_shardings(state, mesh))
 
 
-def batch_shardings(batch: dict, mesh: Mesh, has_accum_dim: bool = True):
+# batch keys whose (batch-relative) axis 1 is a time axis that sequence
+# parallelism shards over the 'model' mesh axis
+_SEQ_KEYS = ("melspec", "phoneme")
+
+
+def batch_shardings(
+    batch: dict, mesh: Mesh, has_accum_dim: bool = True,
+    shard_sequence: bool = False,
+):
     axis = 1 if has_accum_dim else 0
-    def spec(x):
+
+    def spec(k, x):
         parts = [None] * x.ndim
         parts[axis] = "data"
+        if shard_sequence and k in _SEQ_KEYS and x.ndim > axis + 1:
+            # Megatron-style sequence parallelism: the TIME axis rides the
+            # same mesh axis TP uses.  GSPMD keeps pointwise/prenet/LN/conv
+            # work T-sharded and inserts all-gathers only where attention
+            # needs the full sequence (audited in tests/test_sharding.py).
+            parts[axis + 1] = "model"
         return NamedSharding(mesh, P(*parts))
-    return {k: spec(v) for k, v in batch.items()}
+
+    return {k: spec(k, v) for k, v in batch.items()}
 
 
-def shard_batch(batch: dict, mesh: Mesh, has_accum_dim: bool = True) -> dict:
-    """Shard batch dim over the ``data`` axis ((K, B, ...) or (B, ...))."""
-    shardings = batch_shardings(batch, mesh, has_accum_dim)
+def shard_batch(
+    batch: dict, mesh: Mesh, has_accum_dim: bool = True,
+    shard_sequence: bool = False,
+) -> dict:
+    """Shard batch dim over ``data`` ((K, B, ...) or (B, ...)); with
+    ``shard_sequence`` also shard mel/phoneme time over ``model``."""
+    shardings = batch_shardings(batch, mesh, has_accum_dim, shard_sequence)
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

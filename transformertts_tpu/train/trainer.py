@@ -138,7 +138,10 @@ class Trainer:
                     jax.profiler.start_trace(str(self.exp_dir / "profile"))
                     profiling = True
                 audio_seconds += float(batch["melspec_lens"].sum()) * self.audio_sec_per_frame
-                sharded = shard_batch(batch, self.mesh)
+                sharded = shard_batch(
+                    batch, self.mesh,
+                    shard_sequence=self.cfg.runtime.shard_sequence,
+                )
                 if use_ss:
                     self.state, metrics, mixed = step_fn(self.state, sharded, p_tf, rng)
                 else:
