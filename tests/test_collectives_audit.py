@@ -138,3 +138,42 @@ def test_tp_matches_dp_at_paper_widths():
         results[name] = {k: float(v) for k, v in metrics.items()}
     assert results["dp"]["total"] == pytest.approx(results["tp"]["total"], rel=2e-5)
     assert results["dp"]["grad_norm"] == pytest.approx(results["tp"]["grad_norm"], rel=2e-4)
+
+
+def test_sp_forward_gathers_only_at_attention():
+    """Sequence-parallel forward (1, 2 mesh, time axes sharded over
+    'model', runtime.shard_sequence): GSPMD may all-gather sequences where
+    attention needs full-T K/V, but pointwise work must stay T-sharded —
+    pinned as: some all-gathers exist (attention), and the gathered-tensor
+    count stays BOUNDED by the attention-block count (no per-pointwise-op
+    regathering)."""
+    cfg = tiny_config()
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, k=1, b=4)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    state = shard_state(state, mesh)
+
+    def fwd(params, batch_stats, micro):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            micro["phoneme"], micro["melspec"],
+            micro["phoneme_lens"], micro["melspec_lens"],
+            train=False, return_alignments=False,
+        )["post_melspec"]
+
+    micro = {k: v[0] for k, v in batch.items()}
+    with mesh:
+        sharded = shard_batch(micro, mesh, has_accum_dim=False,
+                              shard_sequence=True)
+        txt = jax.jit(fwd).lower(
+            state.params, state.batch_stats, sharded).compile().as_text()
+    counts = _collective_counts(txt)
+    m = cfg.model
+    n_attn = m.encoder_n_layers + m.decoder_n_layers * 2
+    gathered = counts["all-gather"][1]
+    assert gathered > 0, counts  # attention really needs the full sequence
+    # bounded: at most ~3 gathered tensors per attention block (q/k/v-side
+    # re-partitions) plus one for the final output reassembly
+    assert gathered <= 3 * n_attn + 2, counts
