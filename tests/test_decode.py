@@ -132,3 +132,22 @@ def test_infer_prenet_dropout_runs_and_differs(setup):
     with _pytest.raises(ValueError):
         make_decode_fn(model, cfg_d, max_len=8, use_megakernel=True)(
             variables, phoneme, lens)
+
+
+def test_decode_attn_window_runs(setup):
+    """runtime.decode_attn_window > 0: monotone windowed decode runs on the
+    XLA loop, produces valid shapes, and forcing the megakernel errors."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    model, variables, phoneme, lens = setup
+    cfg_w = CFG.replace(
+        runtime=dataclasses.replace(CFG.runtime, decode_attn_window=3))
+    out = make_decode_fn(model, cfg_w, max_len=8, stop_threshold=2.0,
+                         use_megakernel=False)(variables, phoneme, lens)
+    assert out["pred_melspec"].shape == (B, 8, CFG.model.n_mels)
+    assert np.isfinite(np.asarray(out["pred_melspec"])).all()
+    with _pytest.raises(ValueError):
+        make_decode_fn(model, cfg_w, max_len=8, use_megakernel=True)(
+            variables, phoneme, lens)

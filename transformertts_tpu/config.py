@@ -195,6 +195,15 @@ class RuntimeConfig:
     mel_buckets: tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896)
     infer_max_len: int = 1500  # ref: model/model.py:328
     stop_threshold: float = 0.5
+    # Windowed MONOTONIC cross-attention at decode (0 = off, the
+    # reference's unconstrained inference).  W > 0 restricts every
+    # decoder layer's cross-attention to phoneme positions within
+    # [center - W, center + W] of a per-utterance attention center that
+    # only moves FORWARD (tracked from the last layer's attention
+    # expectation each step).  Directly attacks the free-running failure
+    # modes measured on the round-2 checkpoint: pacing drawl and
+    # alignment wander/looping.  XLA-loop decode path only.
+    decode_attn_window: int = 0
     # Tacotron-2-style inference-time decoder-prenet dropout rate (fresh
     # Bernoulli masks every decode step).  The reference runs the prenet
     # deterministically at inference (model/model.py:342) — 0.0 keeps that.

@@ -130,19 +130,21 @@ def make_decode_fn(
 
         on_tpu = jax.default_backend() == "tpu"
         pdrop = float(cfg.runtime.infer_prenet_dropout)
+        attn_win = int(cfg.runtime.decode_attn_window)
         mega = use_megakernel
         if mega is None:
             mega = (
                 cfg.runtime.use_pallas_decode_step
                 and on_tpu
                 and pdrop == 0.0  # live-dropout prenet is XLA-loop only
+                and attn_win == 0  # windowed decode is XLA-loop only
                 and b <= cfg.runtime.decode_megakernel_max_batch
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1], batch=b)
             )
-        if mega and pdrop > 0.0:
+        if mega and (pdrop > 0.0 or attn_win > 0):
             raise ValueError(
-                "runtime.infer_prenet_dropout > 0 requires the XLA decode "
-                "loop (use_megakernel must not be forced True)"
+                "runtime.infer_prenet_dropout / decode_attn_window require "
+                "the XLA decode loop (use_megakernel must not be forced True)"
             )
         if mega and b > 1:
             # batched kernel — auto-gated by decode_megakernel_max_batch
@@ -164,6 +166,9 @@ def make_decode_fn(
             "self_k": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
             "self_v": jnp.zeros((n_layers, b, n_pos, n_heads, d_head), dtype),
         }
+        if attn_win > 0:
+            # monotone attention center per row (phoneme index, fractional)
+            init["center"] = jnp.zeros((b,), jnp.float32)
 
         def cond(s):
             return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
@@ -188,8 +193,21 @@ def make_decode_fn(
             else:
                 x = bound.prenet_step(frame, t)  # (B, 1, D)
 
+            if attn_win > 0:
+                # restrict every layer's cross-attention to the monotone
+                # window [center - W, center + W] (plus the padding bias)
+                pos = jnp.arange(phoneme.shape[1], dtype=jnp.float32)[None, :]
+                c = s["center"][:, None]
+                win = jnp.where(
+                    (pos >= c - attn_win) & (pos <= c + attn_win), 0.0, NEG_INF
+                )
+                cb = cross_bias + win[:, None, None, :]
+            else:
+                cb = cross_bias
+
             self_bias = _self_bias_at(t, n_pos)
             self_k, self_v = s["self_k"], s["self_v"]
+            attn_w = None
             for li, layer in enumerate(bound.decoder.layers):
                 k_new, v_new = layer.project_self_kv(x)  # (B,1,H,Dh)
                 self_k = jax.lax.dynamic_update_slice(
@@ -199,9 +217,15 @@ def make_decode_fn(
                     self_v, v_new[None].astype(self_v.dtype), (li, 0, t, 0, 0)
                 )
                 ck, cv = cross_kv[li]
-                x = layer.cached_step(
-                    x, self_k[li], self_v[li], ck, cv, self_bias, cross_bias
-                )
+                last = li == len(bound.decoder.layers) - 1
+                if attn_win > 0 and last:
+                    x, attn_w = layer.cached_step_attn(
+                        x, self_k[li], self_v[li], ck, cv, self_bias, cb
+                    )
+                else:
+                    x = layer.cached_step(
+                        x, self_k[li], self_v[li], ck, cv, self_bias, cb
+                    )
 
             mel_t, stop_t = bound.decode_frame_heads(x)  # (B,r,C), (B,r)
             frames = jax.lax.dynamic_update_slice(
@@ -213,7 +237,7 @@ def make_decode_fn(
             stopped = s["stopped"] | jnp.any(
                 jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
             )
-            return {
+            new_s = {
                 "t": t + 1,
                 "frames": frames,
                 "stops": stops,
@@ -221,6 +245,16 @@ def make_decode_fn(
                 "self_k": self_k,
                 "self_v": self_v,
             }
+            if attn_win > 0:
+                # attention expectation within the window, averaged over
+                # heads; the center only ever moves FORWARD
+                w = jnp.mean(attn_w.astype(jnp.float32), axis=1)[:, 0, :]  # (B, Tp)
+                pos = jnp.arange(phoneme.shape[1], dtype=jnp.float32)[None, :]
+                exp_pos = jnp.sum(w * pos, axis=1) / jnp.maximum(
+                    jnp.sum(w, axis=1), 1e-6
+                )
+                new_s["center"] = jnp.maximum(s["center"], exp_pos)
+            return new_s
 
         final = jax.lax.while_loop(cond, body, init)
         n_frames = final["t"] * r

@@ -212,6 +212,21 @@ class DecoderLayer(nn.Module):
         x = self.norm3(x + self.ffn(x))
         return x
 
+    def cached_step_attn(
+        self, x, self_k, self_v, cross_k, cross_v, self_bias, cross_bias
+    ):
+        """cached_step that also returns the cross-attention probs
+        (B, H, 1, Tp) — used by the windowed monotonic decode to track the
+        attention position (infer/decode.py, runtime.decode_attn_window)."""
+        sa, _ = self.self_attn.attend(x, self_k, self_v, self_bias)
+        x = self.norm1(x + sa)
+        ca, w = self.cross_attn.attend(
+            x, cross_k, cross_v, cross_bias, return_weights=True
+        )
+        x = self.norm2(x + ca)
+        x = self.norm3(x + self.ffn(x))
+        return x, w
+
     def project_self_kv(self, x):
         return self.self_attn.project_kv(x)
 
