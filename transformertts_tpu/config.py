@@ -168,10 +168,13 @@ class RuntimeConfig:
     # <= decode_megakernel_max_batch, VMEM fit (decode_step_fits); larger
     # batches stay on the XLA loop (which amortizes dispatch at B >= 16).
     use_pallas_decode_step: bool = True
-    # largest batch the auto gate routes to the (batched) decode megakernel;
-    # 1 = single-stream only (the batched kernel is opt-in via
-    # use_megakernel=True until the hardware A/B justifies raising this)
-    decode_megakernel_max_batch: int = 1
+    # largest batch the auto gate routes to the (batched) decode megakernel.
+    # Hardware A/B (tools/ab_decode_batched.py, ab_decode_batched.json,
+    # round 3 after the flat-in-B restructure): megakernel beats the XLA
+    # loop 2.17x/2.25x/2.70x/2.90x at B=1/2/4/8 (26.8-35.9 us/frame vs
+    # 58-104), 2,587 audio-s/s at B=8.  Batches that fail the VMEM fit
+    # (decode_step_fits, batch-scaled caches) fall back to the XLA loop.
+    decode_megakernel_max_batch: int = 8
     # PRNG for dropout keys: "rbg" is much cheaper on TPU than the default
     # counter-based threefry (dozens of dropout masks per step); streams
     # differ between impls but statistics are identical.
