@@ -104,6 +104,38 @@ def test_gate_exactly_last_frame():
     assert float(out["stop"]) < 1e-6
 
 
+def test_stop_gate_tolerant_k():
+    # stop_gate_k=3: gate target is 1 over the LAST 3 valid frames, so
+    # logits positive there (and negative before) give ~zero loss, while
+    # the reference's exact-frame target (k=1) penalizes the two extras.
+    lengths = jnp.array([5, 3])
+    stop = jnp.full((2, 6), -20.0)
+    stop = stop.at[0, 2:5].set(20.0).at[1, 0:3].set(20.0)
+    zeros = jnp.zeros((2, 6, 4))
+    out_k3 = tts_loss(
+        {"pred_melspec": zeros, "post_melspec": zeros, "pred_stop": stop},
+        zeros, lengths, stop_gate_k=3,
+    )
+    out_k1 = tts_loss(
+        {"pred_melspec": zeros, "post_melspec": zeros, "pred_stop": stop},
+        zeros, lengths, stop_gate_k=1,
+    )
+    assert float(out_k3["stop"]) < 1e-6
+    assert float(out_k1["stop"]) > 1.0  # extra positives are wrong under k=1
+
+
+def test_stop_gate_k_exceeding_length():
+    # k larger than a row's length: every valid frame is a positive target
+    lengths = jnp.array([3])
+    stop = jnp.full((1, 6), 20.0)
+    zeros = jnp.zeros((1, 6, 4))
+    out = tts_loss(
+        {"pred_melspec": zeros, "post_melspec": zeros, "pred_stop": stop},
+        zeros, lengths, stop_gate_k=5,
+    )
+    assert float(out["stop"]) < 1e-6
+
+
 def test_guided_attention_prefers_diagonal():
     L, B2, H, TM, TP = 1, 1, 1, 20, 20
     diag = jnp.eye(TM)[None, None, None]

@@ -105,6 +105,19 @@ def test_guided_attention_in_train(setup):
     assert float(metrics["guided_attn"]) > 0
 
 
+def test_ga_weight_traced_override(setup):
+    # the trainer's annealing path passes a per-epoch traced scalar that
+    # overrides cfg.loss.guided_attn_weight without retracing per value
+    cfg, model, batch, state = setup
+    cfg2 = cfg.replace(loss=dataclasses.replace(cfg.loss, guided_attn_weight=1.0))
+    step = make_train_step(model, cfg2, scheduled_sampling=False, donate=False)
+    _, m0 = step(state, batch, 1.0, jax.random.PRNGKey(2), 0.0)
+    _, m2 = step(state, batch, 1.0, jax.random.PRNGKey(2), 2.0)
+    ga = float(m0["guided_attn"])
+    assert abs(float(m2["guided_attn"]) - ga) < 1e-6  # raw term unchanged
+    assert abs(float(m2["total"]) - float(m0["total"]) - 2.0 * ga) < 1e-4
+
+
 def test_nonfinite_step_skipped(setup):
     """Failure guard: a NaN batch must not touch params (SURVEY §5.3)."""
     cfg, model, batch, state = setup

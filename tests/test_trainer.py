@@ -90,3 +90,31 @@ def test_restored_state_matches(trained):
     b = restored.params
     leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
     assert all(np.allclose(x, y) for x, y in zip(leaves_a, leaves_b))
+
+
+def test_guided_weight_anneal_schedule():
+    # pure-logic test of the diagonality-triggered anneal (no fit needed)
+    import dataclasses
+    from types import SimpleNamespace
+
+    from transformertts_tpu.config import Config
+
+    cfg = Config().replace(loss=dataclasses.replace(
+        Config().loss, guided_attn_weight=10.0,
+        guided_attn_anneal_at_diag=0.9, guided_attn_anneal_epochs=20,
+    ))
+    stub = SimpleNamespace(cfg=cfg, ga_anneal_start=None)
+    # before the trigger: full weight
+    assert Trainer._guided_weight(stub, 5) == 10.0
+    # after the trigger at epoch 30: linear decay over 20 epochs
+    stub.ga_anneal_start = 30
+    assert Trainer._guided_weight(stub, 30) == 10.0
+    assert abs(Trainer._guided_weight(stub, 40) - 5.0) < 1e-9
+    assert Trainer._guided_weight(stub, 50) == 0.0
+    assert Trainer._guided_weight(stub, 200) == 0.0
+    # annealing disabled -> None (static cfg weight path)
+    cfg_off = Config().replace(loss=dataclasses.replace(
+        Config().loss, guided_attn_weight=10.0,
+    ))
+    stub_off = SimpleNamespace(cfg=cfg_off, ga_anneal_start=None)
+    assert Trainer._guided_weight(stub_off, 5) is None

@@ -127,6 +127,26 @@ class LossConfig:
     # Guided-attention loss (not in the reference; BASELINE.json config 5)
     guided_attn_weight: float = 0.0
     guided_attn_sigma: float = 0.4
+    # Annealing: once mean val diagonality first reaches this threshold,
+    # the guided weight decays linearly to 0 over ``guided_attn_anneal_epochs``
+    # — training finishes under the reference's exact loss (loss.py:9-55),
+    # with the guided term demoted to a formation aid only.  0.0 = off
+    # (constant weight, the round-2/3 recipe).
+    guided_attn_anneal_at_diag: float = 0.0
+    guided_attn_anneal_epochs: int = 20
+    # Stop-gate target tolerance: gate=1 over the LAST k valid frames.
+    # k=1 is the reference's exact-frame semantics (loss.py:31); k>1 is an
+    # opt-in deviation that fattens the positive class (k-fold more positive
+    # targets) to stabilize the stop head's recall/pacing.
+    stop_gate_k: int = 1
+
+    def validate(self) -> None:
+        if self.stop_gate_k < 1:
+            raise ValueError("stop_gate_k must be >= 1")
+        if self.guided_attn_anneal_epochs < 1:
+            raise ValueError("guided_attn_anneal_epochs must be >= 1")
+        if not 0.0 <= self.guided_attn_anneal_at_diag <= 1.0:
+            raise ValueError("guided_attn_anneal_at_diag must be in [0, 1]")
 
 
 @dataclass(frozen=True)
@@ -239,6 +259,7 @@ class Config:
         self.audio.validate()
         self.model.validate()
         self.training.validate()
+        self.loss.validate()
         self.runtime.validate()
         if self.model.n_mels != self.audio.n_mels:
             raise ValueError("model.n_mels must equal audio.n_mels")

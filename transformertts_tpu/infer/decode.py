@@ -148,7 +148,8 @@ def make_decode_fn(
             )
         if mega and b > 1:
             # batched kernel — auto-gated by decode_megakernel_max_batch
-            # (default 1: opt-in only, pending the hardware A/B verdict)
+            # (default 8 since the round-3 hardware A/B: 2.2-2.9x vs the
+            # XLA loop at B=1..8, ab_decode_batched.json / PERF.md)
             return _megakernel_decode_batched(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,
                 n_pos, max_len, stop_threshold, interpret=not on_tpu,

@@ -306,9 +306,10 @@ class _FallbackG2p:
                 if not word:
                     continue
                 prev = words[widx - 1] if widx > 0 else None
+                prev2 = words[widx - 2] if widx > 1 else None
                 nxt = words[widx + 1] if widx + 1 < len(words) else None
                 widx += 1
-                phones = heteronym_phones(word, prev, nxt)
+                phones = heteronym_phones(word, prev, nxt, prev2)
                 out.extend(
                     phones or _LEXICON.get(word) or rule_letter_to_sound(word)
                 )

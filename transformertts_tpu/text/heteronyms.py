@@ -26,8 +26,11 @@ from __future__ import annotations
 # modal / infinitive context: the next word is (almost always) a verb
 _V = frozenset(
     "to will would can could may might shall should must don't doesn't "
-    "didn't won't cannot can't".split()
+    "didn't won't cannot can't please".split()
 )
+# subject pronouns: transparent for prev-triggers, so "could you elaborate"
+# sees the modal two words back (measured miss in tools/heteronym_eval.py)
+_PRONOUNS = frozenset("i you we they he she it".split())
 # determiner / possessive context: the next word is a noun (or adj+noun)
 _N = frozenset(
     "a an the this that these those its his her their our my your of no "
@@ -73,7 +76,8 @@ _RULES: dict[str, list[tuple[frozenset | None, frozenset | None, list[str]]]] = 
     ],
     # lexicon default: W UW1 N D (injury); past-of-wind in phrasal use
     "wound": [
-        (None, frozenset({"up", "down", "around", "through"}),
+        (None, frozenset({"up", "down", "around", "through",
+                          "tight", "tightly"}),
          ["W", "AW1", "N", "D"]),
     ],
     # lexicon default: M IH1 N AH0 T (time); adjective "tiny" before
@@ -104,7 +108,12 @@ _RULES: dict[str, list[tuple[frozenset | None, frozenset | None, list[str]]]] = 
     # default: noun/adj P R EH1 Z AH0 N T
     "present": [(_V, None, ["P", "R", "IH0", "Z", "EH1", "N", "T"])],
     # default: verb P R AH0 D UW1 S
-    "produce": [(_N, None, ["P", "R", "OW1", "D", "UW0", "S"])],
+    "produce": [
+        (_N, None, ["P", "R", "OW1", "D", "UW0", "S"]),
+        # grocery adjectives: "fresh/local produce" (noun)
+        (frozenset({"fresh", "local", "organic", "farm"}), None,
+         ["P", "R", "OW1", "D", "UW0", "S"]),
+    ],
     # default: noun P R AA1 JH EH0 K T
     "project": [(_V, None, ["P", "R", "AH0", "JH", "EH1", "K", "T"])],
     # default: noun AA1 B JH EH0 K T
@@ -122,7 +131,13 @@ _RULES: dict[str, list[tuple[frozenset | None, frozenset | None, list[str]]]] = 
     # default: verb R IH0 F Y UW1 Z; garbage after determiners
     "refuse": [(_N, None, ["R", "EH1", "F", "Y", "UW2", "S"])],
     # default: verb P ER0 M IH1 T
-    "permit": [(_N, None, ["P", "ER1", "M", "IH0", "T"])],
+    "permit": [
+        (_N, None, ["P", "ER1", "M", "IH0", "T"]),
+        # licence compounds: "fishing/parking permit" (noun)
+        (frozenset({"fishing", "parking", "work", "building", "travel",
+                    "residence", "learner's", "gun"}), None,
+         ["P", "ER1", "M", "IH0", "T"]),
+    ],
     # default: noun K AA1 N D AH0 K T
     "conduct": [(_V, None, ["K", "AH0", "N", "D", "AH1", "K", "T"])],
     # default: noun K AA1 N T R AE2 K T
@@ -171,21 +186,35 @@ _RULES["dove"] = [
                       "toward", "towards", "overboard"}),
      ["D", "OW1", "V"]),
 ]
+_RULES["sow"] = [
+    # determiner context: the animal ("the sow nursed her piglets")
+    (_N, None, ["S", "AW1"]),
+]
 _RULES["graduate"] = [(_V, None, ["G", "R", "AE1", "JH", "UW0", "EY2", "T"])]
 _RULES["duplicate"] = [(_V, None, ["D", "UW1", "P", "L", "AH0", "K", "EY2", "T"])]
 _RULES["delegate"] = [(_V, None, ["D", "EH1", "L", "AH0", "G", "EY2", "T"])]
 
 
 def heteronym_phones(
-    word: str, prev: str | None, nxt: str | None
+    word: str, prev: str | None, nxt: str | None, prev2: str | None = None
 ) -> list[str] | None:
     """Phones for ``word`` given its neighboring WORDS (lowercase, no
-    punctuation), or None to fall through to the lexicon/LTS path."""
+    punctuation), or None to fall through to the lexicon/LTS path.
+
+    ``prev2`` (two words back) lets a prev-trigger see through a subject
+    pronoun: "could you elaborate", "will they record"."""
     rules = _RULES.get(word)
     if rules is None:
         return None
+    if prev in _PRONOUNS and prev2 is not None:
+        eff_prev2 = prev2
+    else:
+        eff_prev2 = None
     for prev_trig, next_trig, phones in rules:
-        if prev_trig is not None and prev is not None and prev in prev_trig:
+        if prev_trig is not None and (
+            (prev is not None and prev in prev_trig)
+            or (eff_prev2 is not None and eff_prev2 in prev_trig)
+        ):
             return list(phones)
         if next_trig is not None and nxt is not None and nxt in next_trig:
             return list(phones)

@@ -42,6 +42,7 @@ def tts_loss(
     lengths: jnp.ndarray,  # (B,)
     stop_weight: float = 8.0,
     post_mel_weight: float = 0.5,
+    stop_gate_k: int = 1,
 ) -> dict:
     pred = outputs["pred_melspec"].astype(jnp.float32)
     post = outputs["post_melspec"].astype(jnp.float32)
@@ -56,7 +57,12 @@ def tts_loss(
     post_mel_loss = _masked_mean((post - mel) ** 2, frame_mask)
     mel_loss = pred_mel_loss + post_mel_weight * post_mel_loss
 
-    gate = (jnp.arange(t)[None, :] == (lengths[:, None] - 1)).astype(jnp.float32)
+    # gate target: 1 over the last ``stop_gate_k`` valid frames.  k=1 is the
+    # reference's exact-last-frame semantics (loss.py:31); k>1 is the opt-in
+    # tolerant gate (config.loss.stop_gate_k) — positions beyond lengths-1
+    # are excluded by the valid mask either way.
+    pos = jnp.arange(t)[None, :]
+    gate = (pos >= (lengths[:, None] - stop_gate_k)).astype(jnp.float32)
     stop_loss = _masked_mean(_bce_with_logits(stop, gate, stop_weight), valid)
 
     return {

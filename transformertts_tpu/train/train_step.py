@@ -98,6 +98,7 @@ def _micro_loss(
     p_tf,
     rng: jax.Array,
     scheduled_sampling: bool,
+    ga_w=None,  # traced guided-attn weight override (None = cfg constant)
 ):
     phoneme = batch["phoneme"]
     melspec = batch["melspec"]
@@ -121,6 +122,8 @@ def _micro_loss(
         )
 
     need_align = cfg.loss.guided_attn_weight > 0.0
+    if ga_w is None:
+        ga_w = cfg.loss.guided_attn_weight
 
     def loss_fn(p):
         out, upd = model.apply(
@@ -130,7 +133,8 @@ def _micro_loss(
             rngs={"dropout": r2}, mutable=["batch_stats"],
         )
         losses = tts_loss(
-            out, melspec, m_lens, cfg.loss.stop_weight, cfg.loss.post_mel_weight
+            out, melspec, m_lens, cfg.loss.stop_weight, cfg.loss.post_mel_weight,
+            cfg.loss.stop_gate_k,
         )
         total = losses["total"]
         if need_align:
@@ -138,7 +142,7 @@ def _micro_loss(
                 out["alignments"], m_lens, p_lens, cfg.loss.guided_attn_sigma
             )
             losses["guided_attn"] = ga
-            total = total + cfg.loss.guided_attn_weight * ga
+            total = total + ga_w * ga
         losses["total"] = total
         return total, (losses, upd["batch_stats"])
 
@@ -169,7 +173,10 @@ def make_train_step(
     """
     optimizer = optimizer or make_optimizer(cfg)
 
-    def step_fn(state: TrainState, batch: dict, p_tf, rng: jax.Array):
+    def step_fn(state: TrainState, batch: dict, p_tf, rng: jax.Array, ga_w=None):
+        # ``ga_w`` (optional traced scalar) overrides cfg.loss.guided_attn_weight
+        # so the trainer can anneal the guided term per-epoch without a
+        # recompile (guided_attn_anneal_at_diag); None keeps the static weight.
         k = batch["phoneme"].shape[0]
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), k)
 
@@ -184,7 +191,7 @@ def make_train_step(
                 micro_batch, micro_rng = xs
             grads, losses, batch_stats, target_in = _micro_loss(
                 model, cfg, state.params, batch_stats, micro_batch, p_tf,
-                micro_rng, scheduled_sampling,
+                micro_rng, scheduled_sampling, ga_w,
             )
             acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
             if return_mixed_inputs:
@@ -251,6 +258,7 @@ def make_eval_step(model: TransformerTTS, cfg: Config, with_outputs: bool = Fals
         losses = tts_loss(
             out, batch["melspec"], batch["melspec_lens"],
             cfg.loss.stop_weight, cfg.loss.post_mel_weight,
+            cfg.loss.stop_gate_k,
         )
         metrics = dict(losses)
         metrics["diagonality"] = alignment_diagonality(

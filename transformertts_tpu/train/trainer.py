@@ -110,6 +110,26 @@ class Trainer:
         self.state = shard_state(state, self.mesh)
         self.log.info("model parameters: %.2fM", count_params(state.params) / 1e6)
         self.noam = noam_schedule(cfg.model.d_model, cfg.training.warmup_steps)
+        # guided-attention annealing (loss.guided_attn_anneal_at_diag): the
+        # epoch the linear decay began, or None while the trigger hasn't
+        # fired.  Recovered from history.json on resume.
+        self.ga_anneal_start: int | None = None
+        self.prev_history: list[dict] = []
+        hist_path = self.exp_dir / "history.json"
+        if self.start_epoch > 0 and hist_path.exists():
+            with open(hist_path) as f:
+                self.prev_history = [
+                    h for h in json.load(f) if h.get("epoch", 1 << 30) < self.start_epoch
+                ]
+            base = cfg.loss.guided_attn_weight
+            for h in self.prev_history:
+                if "ga_w" in h and h["ga_w"] < base:
+                    # decay is linear from the trigger epoch: invert it
+                    frac = 1.0 - h["ga_w"] / base
+                    self.ga_anneal_start = int(round(
+                        h["epoch"] - frac * cfg.loss.guided_attn_anneal_epochs
+                    ))
+                    break
 
     # ------------------------------------------------------------------ train
 
@@ -125,6 +145,10 @@ class Trainer:
         use_ss = p_tf < 1.0
         step_fn = self.train_step_ss if use_ss else self.train_step_tf
         rng = jax.random.PRNGKey(cfg.training.seed + 1000 + epoch)
+        ga_w = self._guided_weight(epoch)
+        # only thread the traced override when annealing is live (keeps the
+        # 4-arg trace — and the persistent compile cache — for normal runs)
+        extra = () if ga_w is None else (ga_w,)
 
         step_metrics, n_steps = [], 0
         audio_seconds = 0.0
@@ -143,9 +167,13 @@ class Trainer:
                     shard_sequence=self.cfg.runtime.shard_sequence,
                 )
                 if use_ss:
-                    self.state, metrics, mixed = step_fn(self.state, sharded, p_tf, rng)
+                    self.state, metrics, mixed = step_fn(
+                        self.state, sharded, p_tf, rng, *extra
+                    )
                 else:
-                    self.state, metrics = step_fn(self.state, sharded, p_tf, rng)
+                    self.state, metrics = step_fn(
+                        self.state, sharded, p_tf, rng, *extra
+                    )
                 n_steps += 1
                 if profiling and n_steps >= 1 + profile_steps:
                     jax.block_until_ready(metrics["total"])
@@ -197,11 +225,24 @@ class Trainer:
         avg = {name: v / max(n_steps, 1) for name, v in totals.items()}
         avg["audio_s_per_s"] = audio_seconds / elapsed
         avg["p_tf"] = p_tf
+        if ga_w is not None:
+            avg["ga_w"] = float(ga_w)
         self.log.info(
             "epoch %d done: loss %.4f | p_tf %.3f | %.1f audio-s/s",
             epoch, avg.get("total", float("nan")), p_tf, avg["audio_s_per_s"],
         )
         return avg
+
+    def _guided_weight(self, epoch: int) -> float | None:
+        """Per-epoch guided-attention weight under diagonality-triggered
+        annealing; None when annealing is off (static cfg weight applies)."""
+        loss_cfg = self.cfg.loss
+        if loss_cfg.guided_attn_anneal_at_diag <= 0.0 or loss_cfg.guided_attn_weight <= 0.0:
+            return None
+        if self.ga_anneal_start is None:
+            return loss_cfg.guided_attn_weight
+        frac = (epoch - self.ga_anneal_start) / max(loss_cfg.guided_attn_anneal_epochs, 1)
+        return loss_cfg.guided_attn_weight * max(1.0 - frac, 0.0)
 
     # ------------------------------------------------------------------- val
 
@@ -309,12 +350,33 @@ class Trainer:
     def fit(self) -> dict:
         cfg = self.cfg
         best_val, patience = float("inf"), 0
-        history = []
+        history = list(self.prev_history)  # resumed runs keep earlier epochs
+        if self.ga_anneal_start is not None:
+            self.log.info(
+                "guided-attn anneal recovered from history: started epoch %d",
+                self.ga_anneal_start,
+            )
         for epoch in range(self.start_epoch, cfg.training.num_epochs):
             train_metrics = self.train_epoch(
                 epoch, self.profile_steps if epoch == self.start_epoch else 0
             )
             val_loss, val_metrics = self.validate(epoch)
+            thresh = cfg.loss.guided_attn_anneal_at_diag
+            if (
+                thresh > 0.0
+                and self.ga_anneal_start is None
+                and val_metrics.get("diagonality", 0.0) >= thresh
+            ):
+                # alignment has formed — hand the rest of training to the
+                # reference's exact loss via a linear decay of the guided term
+                self.ga_anneal_start = epoch + 1
+                self.log.info(
+                    "val diagonality %.3f >= %.2f at epoch %d: guided-attn "
+                    "weight anneals to 0 over epochs %d-%d",
+                    val_metrics["diagonality"], thresh, epoch,
+                    self.ga_anneal_start,
+                    self.ga_anneal_start + cfg.loss.guided_attn_anneal_epochs - 1,
+                )
             history.append({
                 "epoch": epoch, **train_metrics, "val_loss": val_loss,
                 **{f"val_{k}": v for k, v in val_metrics.items() if k != "total"},
