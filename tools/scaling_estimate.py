@@ -183,6 +183,85 @@ def analytic_report(audit: dict, n_params: int) -> dict:
     }
 
 
+def lower_tp_step_hlo(n_model: int = 2, config_path: str = "configs/large_tp.yaml"):
+    """Lower the train step at the d1024 config (BASELINE config 5) over a
+    (1 data x n_model) TP mesh and return (compiled HLO text, n_params).
+
+    The width TP exists for: d_model 1024, 6+6 layers, 16 heads, ffn 4096
+    (configs/large_tp.yaml).  The byte audit over this HLO gives the
+    per-step TP collective volume (activation all-reduces, one per
+    attention/FFN block) that the round-2 audit only pinned at paper
+    widths (VERDICT r3 weak #4)."""
+    import numpy as np
+    import jax
+
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.models import TransformerTTS
+    from transformertts_tpu.parallel import make_mesh, shard_batch, shard_state
+    from transformertts_tpu.train import create_train_state, make_train_step
+
+    cfg = load_config(config_path, [
+        "runtime.mesh_model=%d" % n_model,
+        # CPU lowering: Pallas kernels would trace in interpret mode;
+        # the collective structure is identical on the XLA path
+        "runtime.use_pallas_attention=false",
+        "runtime.use_pallas_fused_ln=false",
+        "runtime.compute_dtype=bfloat16",
+    ])
+    model = TransformerTTS(cfg.model)
+    mesh = make_mesh(1, n_model, devices=jax.devices()[:n_model])
+
+    rng = np.random.default_rng(0)
+    k, b = 2, 4  # small K/B keep CPU lowering tractable; bytes scale known
+    tp, tm, c = 128, 512, cfg.model.n_mels
+    batch = {
+        "phoneme": rng.integers(1, 60, (k, b, tp)).astype(np.int32),
+        "melspec": rng.standard_normal((k, b, tm, c)).astype(np.float32),
+        "phoneme_lens": np.full((k, b), tp, np.int32),
+        "melspec_lens": np.full((k, b), tm, np.int32),
+    }
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    state = shard_state(state, mesh)
+    step = make_train_step(model, cfg, scheduled_sampling=True, donate=False)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        lowered = step.lower(state, sharded, 0.8, jax.random.PRNGKey(1))
+        txt = lowered.compile().as_text()
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    return txt, n_params, (k, b)
+
+
+def tp_report(audit: dict, n_params: int, kb: tuple, step_ms: float | None) -> dict:
+    """Projected 2-chip TP efficiency at d1024 from the audited bytes.
+
+    TP all-reduces are ACTIVATION collectives on the critical path (no
+    overlap with compute, unlike DP grad reduction), so efficiency is
+    step/(step+comm) with comm at full ICI bandwidth."""
+    g = audit["allreduce_bytes"]
+    k, b = kb
+    # scale the audited (K=2, B=4) volume to the production regime 4x16
+    scale = (4 * 16) / (k * b)
+    prod_bytes = g * scale
+    n = 2
+    wire_bytes = 2 * (n - 1) / n * prod_bytes
+    out = {
+        "n_params": n_params,
+        "audited_bytes_k%d_b%d" % (k, b): g,
+        "projected_bytes_k4_b16": int(prod_bytes),
+        "wire_bytes_per_step_n2": int(wire_bytes),
+    }
+    scenarios = {"ici_2chip_90GBps": 90e9, "ici_2chip_45GBps": 45e9}
+    for name, bw in scenarios.items():
+        t_comm_ms = wire_bytes / bw * 1e3
+        row = {"t_comm_ms": round(t_comm_ms, 3)}
+        if step_ms:
+            row["assumed_step_ms"] = step_ms
+            row["efficiency"] = round(step_ms / (step_ms + t_comm_ms), 4)
+        out[name] = row
+    return out
+
+
 TWO_PROC_WORKER = r"""
 import json, os, sys, time
 import numpy as np
@@ -305,6 +384,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--two-proc", metavar="PREP_DIR",
                     help="run the 2-process DP pipeline check on PREP_DIR")
+    ap.add_argument("--tp-d1024", action="store_true",
+                    help="audit TP collective bytes at the d1024 config")
+    ap.add_argument("--step-ms", type=float, default=None,
+                    help="measured d1024 single-chip step time (for the "
+                         "TP efficiency projection)")
     ap.add_argument("--out", default="scaling_estimate.json")
     args = ap.parse_args()
 
@@ -320,6 +404,16 @@ def main():
     if args.two_proc:
         result["two_proc"] = run_two_proc(args.two_proc)
         print(json.dumps(result["two_proc"]))
+    elif args.tp_d1024:
+        t0 = time.time()
+        hlo, n_params, kb = lower_tp_step_hlo(2)
+        audit = audit_allreduce_bytes(hlo)
+        result["tp_d1024"] = {
+            "audit": audit,
+            **tp_report(audit, n_params, kb, args.step_ms),
+            "lower_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps(result["tp_d1024"], indent=2))
     else:
         t0 = time.time()
         hlo, n_params = lower_dp_step_hlo(2)
