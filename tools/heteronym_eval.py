@@ -36,7 +36,7 @@ GOLDEN: list[tuple[str, str, str, str]] = [
     ("he will read the report", "read", "R IY1 D", "rule"),
     ("i want to read a book", "read", "R IY1 D", "rule"),
     ("you must read the instructions", "read", "R IY1 D", "rule"),
-    ("they read books every evening", "read", "R IY1 D", "gap"),
+    ("they read books every evening", "read", "R IY1 D", "rule"),
     # lead
     ("she will lead the team", "lead", "L IY1 D", "default"),
     ("the lead pipe was heavy", "lead", "L EH1 D", "rule"),
@@ -47,7 +47,7 @@ GOLDEN: list[tuple[str, str, str, str]] = [
     ("does he live nearby", "live", "L IH1 V", "default"),
     ("a live broadcast from the stadium", "live", "L AY1 V", "rule"),
     ("the live audience cheered loudly", "live", "L AY1 V", "rule"),
-    ("the band played live at the club", "live", "L AY1 V", "gap"),
+    ("the band played live at the club", "live", "L AY1 V", "rule"),
     # wind
     ("the wind blew hard all night", "wind", "W IH1 N D", "default"),
     ("wind up the clock before bed", "wind", "W AY1 N D", "rule"),
@@ -137,7 +137,7 @@ GOLDEN: list[tuple[str, str, str, str]] = [
     ("muscles can contract quickly", "contract",
      "K AH0 N T R AE1 K T", "rule"),
     ("metals contract when they cool", "contract",
-     "K AH0 N T R AE1 K T", "gap"),
+     "K AH0 N T R AE1 K T", "rule"),
     # convert
     ("they convert sunlight into power", "convert",
      "K AH0 N V ER1 T", "default"),
@@ -219,6 +219,24 @@ GOLDEN: list[tuple[str, str, str, str]] = [
      "D EH1 L AH0 G AH0 T", "default"),
     ("you must delegate more tasks", "delegate",
      "D EH1 L AH0 G EY2 T", "rule"),
+    # --- round-4 sentence-context rules: generalization + guards
+    # (written after the rules; they exercise the PATTERN — habitual
+    # present "read", performance-verb "live", plural-subject verb
+    # reading — on sentences the rules were not built from)
+    ("we read the paper every morning", "read", "R IY1 D", "rule"),
+    ("i never read the comments", "read", "R IY1 D", "rule"),
+    ("you usually read before bed", "read", "R IY1 D", "rule"),
+    ("she read the letter slowly", "read", "R EH1 D", "default"),
+    ("they read the verdict aloud yesterday", "read", "R EH1 D", "default"),
+    ("the website went live yesterday", "live", "L AY1 V", "rule"),
+    ("the orchestra performed live on stage", "live", "L AY1 V", "rule"),
+    ("they live in a small town", "live", "L IH1 V", "default"),
+    ("pupils contract in bright light", "contract",
+     "K AH0 N T R AE1 K T", "rule"),
+    ("the contract was signed today", "contract",
+     "K AA1 N T R AE2 K T", "default"),
+    ("houses present when staged sell faster", "present",
+     "P R IH0 Z EH1 N T", "rule"),
 ]
 
 

@@ -308,8 +308,10 @@ class _FallbackG2p:
                 prev = words[widx - 1] if widx > 0 else None
                 prev2 = words[widx - 2] if widx > 1 else None
                 nxt = words[widx + 1] if widx + 1 < len(words) else None
+                wi = widx
                 widx += 1
-                phones = heteronym_phones(word, prev, nxt, prev2)
+                phones = heteronym_phones(
+                    word, prev, nxt, prev2, sentence=tuple(words), idx=wi)
                 out.extend(
                     phones or _LEXICON.get(word) or rule_letter_to_sound(word)
                 )

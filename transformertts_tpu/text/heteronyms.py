@@ -194,15 +194,113 @@ _RULES["graduate"] = [(_V, None, ["G", "R", "AE1", "JH", "UW0", "EY2", "T"])]
 _RULES["duplicate"] = [(_V, None, ["D", "UW1", "P", "L", "AH0", "K", "EY2", "T"])]
 _RULES["delegate"] = [(_V, None, ["D", "EH1", "L", "AH0", "G", "EY2", "T"])]
 
+# ---- sentence-context rules (round 4) -------------------------------
+# Three POS-gap patterns the neighbor-trigger rules could not model
+# (measured 0/3 on the round-4 golden set; g2p_en resolves them with a
+# sentence POS tagger, ref audio.py:54-59):
+#
+# 1. present-tense "read": a frequency adverb directly before ("i often
+#    read"), or a plural/2nd-person subject pronoun plus a habitual
+#    adverbial anywhere later in the sentence ("they read books every
+#    evening").  Singular he/she + read stays the past default — the
+#    narration register's dominant reading.
+# 2. adverbial "live" after a performance/broadcast verb ("played
+#    live", "went live", "streamed live") -> L AY1 V.
+# 3. plural-noun subject + clause/adverb cue after a noun-default
+#    noun/verb stress pair ("metals contract when they cool",
+#    "pupils contract in bright light") -> the verb reading.  The prev
+#    word must look like a plural content noun (ends in -s, not a
+#    closed-class word); known false positive: noun compounds whose
+#    head follows a plural attributive ("a sales contract when...").
+_FREQ_ADV = frozenset(
+    "often always usually rarely never sometimes frequently regularly "
+    "occasionally seldom daily".split()
+)
+_HABITUAL = frozenset(
+    "every each often always usually daily nightly weekly regularly "
+    "frequently".split()
+)
+_READ_SUBJECTS = frozenset({"i", "you", "we", "they"})
+_PERF_VERBS = frozenset(
+    "played plays playing performed performs performing went goes going "
+    "gone broadcast broadcasting aired airing streamed streaming sang "
+    "sung singing appeared appearing recorded".split()
+)
+_CLAUSE_CUES = frozenset(
+    "when as if while because during under rapidly sharply quickly "
+    "slowly significantly slightly further again in".split()
+)
+# closed-class / adverb words ending in -s that are NOT plural nouns
+_NOT_PLURAL_NOUNS = frozenset(
+    "is was has does as its his hers ours yours theirs this thus always "
+    "sometimes perhaps unless across besides".split()
+)
+# noun-default stress pairs whose verb reading rule #3 can select: the
+# verb phones are the ones their _V trigger rule already carries
+_SUBJECT_VERB_WORDS = frozenset(
+    "record present project object subject conduct contract desert".split()
+)
+
+
+def _plural_content_noun(word: str) -> bool:
+    return (
+        len(word) > 3
+        and word.endswith("s")
+        and not word.endswith("ss")
+        and word not in _NOT_PLURAL_NOUNS
+        and word not in _FREQ_ADV
+        and word not in _V
+        and word not in _N
+        and word not in _PRONOUNS
+    )
+
+
+def _context_phones(
+    word: str,
+    prev: str | None,
+    nxt: str | None,
+    sentence: tuple[str, ...] | None,
+    idx: int | None,
+) -> list[str] | None:
+    if word == "read":
+        if prev in _FREQ_ADV:
+            return ["R", "IY1", "D"]
+        if (
+            prev in _READ_SUBJECTS
+            and sentence is not None
+            and idx is not None
+            and _HABITUAL.intersection(sentence[idx + 1:])
+        ):
+            return ["R", "IY1", "D"]
+    elif word == "live":
+        if prev in _PERF_VERBS:
+            return ["L", "AY1", "V"]
+    elif word in _SUBJECT_VERB_WORDS:
+        if (
+            prev is not None
+            and nxt in _CLAUSE_CUES
+            and _plural_content_noun(prev)
+        ):
+            return list(_RULES[word][0][2])
+    return None
+
 
 def heteronym_phones(
-    word: str, prev: str | None, nxt: str | None, prev2: str | None = None
+    word: str,
+    prev: str | None,
+    nxt: str | None,
+    prev2: str | None = None,
+    sentence: tuple[str, ...] | None = None,
+    idx: int | None = None,
 ) -> list[str] | None:
     """Phones for ``word`` given its neighboring WORDS (lowercase, no
     punctuation), or None to fall through to the lexicon/LTS path.
 
     ``prev2`` (two words back) lets a prev-trigger see through a subject
-    pronoun: "could you elaborate", "will they record"."""
+    pronoun: "could you elaborate", "will they record".  ``sentence``
+    (all words of the utterance) + ``idx`` (this word's position in it)
+    enable the sentence-context rules (habitual "they read ... every
+    evening"); without them only the neighbor rules apply."""
     rules = _RULES.get(word)
     if rules is None:
         return None
@@ -218,4 +316,7 @@ def heteronym_phones(
             return list(phones)
         if next_trig is not None and nxt is not None and nxt in next_trig:
             return list(phones)
+    ctx = _context_phones(word, prev, nxt, sentence, idx)
+    if ctx is not None:
+        return ctx
     return list(_DEFAULTS[word]) if word in _DEFAULTS else None
