@@ -18,7 +18,10 @@ loss to fall — unlike round 1's word-level tonal corpus (14 words, fixed
 0.35 s/word, f0-only coding) where text barely informed the mel and
 val_diagonality stayed flat at 0.36.
 
-Usage:  python tools/gen_synth_corpus.py OUT_DIR [n_clips] [seed]
+Usage:  python tools/gen_synth_corpus.py OUT_DIR [n_clips] [seed] [--v2]
+(--v2: replace every other TRAIN slot with the 300-sentence diverse bank
+in tools/train_sentences.py; the val slice stays byte-identical to v1 —
+see make_texts for the round-4 rationale.)
 Writes OUT_DIR/LJSpeech-1.1/{wavs/*.wav, metadata.csv} in the layout the
 preprocess CLI expects (ref: preprocess.py:11-18).  IDs with prefix
 LJ001/LJ002/LJ003 become the val split (ref: dataset.py:43-56).
@@ -272,7 +275,21 @@ TAILS = ["in the early morning.", "before the end of the year.",
          "by the light of a candle.", "at the side of the road."]
 
 
-def make_texts(n: int, seed: int) -> list[str]:
+def make_texts(n: int, seed: int, diverse_train: bool = False) -> list[str]:
+    """v1: SENTENCES then template grammar.  v2 (diverse_train=True): the
+    val slice (first n//16 texts) is IDENTICAL to v1 — same SENTENCES,
+    same template RNG stream — but every other TRAIN slot is replaced by
+    a sentence from the 300-entry diverse bank (tools/train_sentences.py,
+    cycled with varying per-utterance duration jitter).
+
+    Rationale (round-4 analysis, PARITY.md): in v1 the diverse register
+    exists ONLY in val, so val's hard half is out-of-distribution — an
+    artifact real LJSpeech (one book register across train AND val,
+    /root/reference/readme.md:23) does not have.  v2 keeps the val
+    utterances byte-identical (same text, same synth seed) so evals
+    stay directly comparable, while the train distribution gains the
+    diverse-register mass.
+    """
     rng = np.random.default_rng(seed)
     texts = list(SENTENCES)
     while len(texts) < n:
@@ -286,7 +303,17 @@ def make_texts(n: int, seed: int) -> list[str]:
         else:
             text = f"{s.capitalize()} {v} {o} {tl}"
         texts.append(text)
-    return texts[:n]
+    texts = texts[:n]
+    if diverse_train:
+        from train_sentences import TRAIN_SENTENCES
+
+        assert not set(TRAIN_SENTENCES) & set(SENTENCES)
+        n_val = max(n // 16, 4)
+        j = 0
+        for i in range(n_val, n, 2):
+            texts[i] = TRAIN_SENTENCES[j % len(TRAIN_SENTENCES)]
+            j += 1
+    return texts
 
 
 def write_wav(path: pathlib.Path, sig: np.ndarray) -> None:
@@ -299,14 +326,16 @@ def write_wav(path: pathlib.Path, sig: np.ndarray) -> None:
 
 
 def main() -> None:
-    out = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("synth_corpus")
-    n_clips = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    argv = [a for a in sys.argv[1:] if a != "--v2"]
+    diverse_train = "--v2" in sys.argv[1:]
+    out = pathlib.Path(argv[0]) if len(argv) > 0 else pathlib.Path("synth_corpus")
+    n_clips = int(argv[1]) if len(argv) > 1 else 512
+    seed = int(argv[2]) if len(argv) > 2 else 0
 
     root = out / "LJSpeech-1.1"
     (root / "wavs").mkdir(parents=True, exist_ok=True)
     g2p = G2p()
-    texts = make_texts(n_clips, seed)
+    texts = make_texts(n_clips, seed, diverse_train=diverse_train)
 
     n_val = max(n_clips // 16, 4)
     lines, total_s = [], 0.0
