@@ -395,4 +395,7 @@ class Trainer:
                     self.log.info("early stopping at epoch %d (patience %d)",
                                   epoch, patience)
                     break
-        return {"best_val": best_val, "epochs": len(history)}
+        # "epochs" counts epochs trained by THIS call — history also carries
+        # the resumed epochs so the anneal trigger survives restarts
+        return {"best_val": best_val,
+                "epochs": len(history) - len(self.prev_history)}
