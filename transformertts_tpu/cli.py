@@ -172,6 +172,31 @@ def cmd_serve(args):
     print(f"served {n} utterances")
 
 
+def cmd_serve_http(args):
+    """Dynamic-batching HTTP synthesis server: concurrent POSTs coalesce
+    into one padded decode batch (infer/serving.py)."""
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.infer import DynamicBatcher, Synthesizer, make_http_server
+
+    cfg = load_config(args.config, args.overrides)
+    synth = Synthesizer(cfg, args.ckpt)
+    batcher = DynamicBatcher(
+        synth, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    server = make_http_server(batcher, cfg, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+        print(f"stats: {batcher.stats()}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="transformertts_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -209,6 +234,19 @@ def main(argv=None):
     p_srv.add_argument("--input", default=None,
                        help="read lines from a file instead of stdin")
     p_srv.set_defaults(fn=cmd_serve)
+
+    p_http = sub.add_parser(
+        "serve-http", help="dynamic-batching HTTP synthesis server"
+    )
+    _add_common(p_http)
+    p_http.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p_http.add_argument("--host", default="127.0.0.1")
+    p_http.add_argument("--port", type=int, default=8777)
+    p_http.add_argument("--max-batch", type=int, default=8,
+                        help="coalesce up to N concurrent requests per decode")
+    p_http.add_argument("--max-wait-ms", type=float, default=20.0,
+                        help="max extra latency to wait for batch fill")
+    p_http.set_defaults(fn=cmd_serve_http)
 
     args = ap.parse_args(argv)
     _honor_platform_env()
