@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--n", type=int, default=16, help="val items to decode")
     ap.add_argument("--step", type=int, default=None, help="checkpoint step")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--tf", action="store_true",
+                    help="also report per-item TEACHER-FORCED mel_l1/MCD "
+                         "(for the free-vs-TF amplification analysis, PARITY.md)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -93,6 +96,23 @@ def main():
             phoneme[i, : len(seq)] = seq
             lens[i] = len(seq)
         out = jax.device_get(decode(variables, phoneme, lens))
+        tf_out = None
+        if args.tf:
+            # teacher-forced forward over the same padded batch: pad mels to
+            # the batch max rounded up to the reduction factor
+            r = cfg.model.reduction_factor
+            t_max = max(it["melspec"].shape[0] for it in items)
+            t_max = ((t_max + r - 1) // r) * r
+            mel_in = np.zeros((b, t_max, cfg.model.n_mels), np.float32)
+            mel_lens = np.zeros((b,), np.int32)
+            for i, it in enumerate(items):
+                t = it["melspec"].shape[0]
+                mel_in[i, :t] = it["melspec"]
+                mel_lens[i] = t
+            tf_out = jax.device_get(model.apply(
+                variables, phoneme, mel_in, lens, mel_lens,
+                train=False, return_alignments=False,
+            ))
         for i, item in enumerate(items):
             pred_len = max(int(out["n_frames_per_row"][i]), 1)
             true = item["melspec"]
@@ -107,6 +127,12 @@ def main():
                 "pred_len": pred_len,
                 "true_len": int(true.shape[0]),
             })
+            if tf_out is not None:
+                t = true.shape[0]
+                tf_pred = tf_out["post_melspec"][i, :t]
+                rows[-1]["tf_mel_l1"] = float(np.abs(tf_pred - true).mean())
+                rows[-1]["tf_mcd"] = float(mel_cepstral_distortion(
+                    tf_pred[None], true[None], np.array([t], np.int32)))
             print(json.dumps({"item": lo + i, **rows[-1]}), flush=True)
 
     summary = {
@@ -120,6 +146,9 @@ def main():
         "free_len_ratio": float(np.mean([r["len_ratio"] for r in rows])),
         "items": rows,
     }
+    if args.tf:
+        summary["tf_mel_l1"] = float(np.mean([r["tf_mel_l1"] for r in rows]))
+        summary["tf_mcd"] = float(np.mean([r["tf_mcd"] for r in rows]))
     print(json.dumps({k: v for k, v in summary.items() if k != "items"}))
     if args.out:
         with open(args.out, "w") as f:
