@@ -118,3 +118,37 @@ def test_guided_weight_anneal_schedule():
     ))
     stub_off = SimpleNamespace(cfg=cfg_off, ga_anneal_start=None)
     assert Trainer._guided_weight(stub_off, 5) is None
+
+
+def test_anneal_start_recovery_from_history():
+    """Resume recovery of the anneal trigger (round-4 review fix): the
+    explicit ga_anneal_start record works even for the window right after
+    the trigger where ga_w still equals the base weight; legacy histories
+    without it fall back to inverting the decay."""
+    import dataclasses
+
+    from transformertts_tpu.config import Config
+
+    loss_cfg = dataclasses.replace(
+        Config().loss, guided_attn_weight=10.0,
+        guided_attn_anneal_at_diag=0.9, guided_attn_anneal_epochs=20,
+    )
+    # trigger fired at epoch 34 -> start 35; crash right after epoch 35's
+    # checkpoint: both rows still carry ga_w == base (decay frac 0)
+    hist = [
+        {"epoch": 33, "ga_w": 10.0, "ga_anneal_start": None},
+        {"epoch": 34, "ga_w": 10.0, "ga_anneal_start": 35},
+        {"epoch": 35, "ga_w": 10.0, "ga_anneal_start": 35},
+    ]
+    assert Trainer._recover_anneal_start(hist, loss_cfg) == 35
+    # legacy history (no explicit record): invert the linear decay
+    legacy = [
+        {"epoch": 34, "ga_w": 10.0},
+        {"epoch": 36, "ga_w": 9.0},  # frac 0.1 -> start = 36 - 2 = 34
+    ]
+    assert Trainer._recover_anneal_start(legacy, loss_cfg) == 34
+    # no anneal ever triggered
+    assert Trainer._recover_anneal_start(
+        [{"epoch": 1, "ga_w": 10.0, "ga_anneal_start": None}], loss_cfg
+    ) is None
+    assert Trainer._recover_anneal_start([{"epoch": 1}], loss_cfg) is None

@@ -24,7 +24,15 @@ D1024="model.d_model=1024 model.encoder_n_layers=6 model.decoder_n_layers=6 \
 echo "=== 1. d1024 single-chip bench $(date -u +%FT%TZ)"
 BENCH_NO_RECORD=1 BENCH_DEADLINE_S=1200 timeout 1400 \
   python bench.py $D1024 > /tmp/d1024_bench.out 2> /tmp/d1024_bench.err
-echo "bench rc=$? $(tail -1 /tmp/d1024_bench.out)"
+rc=$?
+echo "bench rc=$rc $(tail -1 /tmp/d1024_bench.out)"
+if [ $rc -ne 0 ]; then
+  # on bench failure bench_details.json still holds the committed
+  # parity-config numbers — copying it would silently feed a d256 step
+  # time into the d1024 TP projection below.  Abort instead.
+  echo "bench failed; NOT deriving the d1024 projection from stale details"
+  exit 1
+fi
 # bench.py overwrites bench_details.json; keep the d1024 details under
 # their own name and restore the committed parity-config file.
 cp bench_details.json d1024_bench_details.json

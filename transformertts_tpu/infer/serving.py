@@ -61,6 +61,7 @@ class DynamicBatcher:
         self.max_len = max_len
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()  # orders submit() vs close()
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
@@ -73,10 +74,11 @@ class DynamicBatcher:
 
     def submit(self, text: str) -> Future:
         """Queue one utterance; resolves to a (n_mels, T) float32 mel."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
-        req = _Request(text)
-        self._q.put(req)
+        with self._submit_lock:  # no request may land behind the sentinel
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            req = _Request(text)
+            self._q.put(req)
         return req.future
 
     def synthesize(self, text: str, timeout: Optional[float] = None) -> np.ndarray:
@@ -98,12 +100,24 @@ class DynamicBatcher:
             }
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting work, finish the queue, join the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # wake the worker
+        """Stop accepting work, finish the queue, join the worker.
+
+        Any request still unserved when the worker exits (or if the join
+        times out) gets a RuntimeError on its future — nothing blocks
+        forever on an abandoned result()."""
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # wake the worker
         self._worker.join(timeout=timeout)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("batcher closed"))
 
     def __enter__(self):
         return self
@@ -202,8 +216,10 @@ def make_http_server(batcher: DynamicBatcher, cfg, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict) or not isinstance(req.get("text"), str):
+                    raise ValueError('body must be a JSON object with a string "text"')
                 text = req["text"]
-            except (ValueError, KeyError) as e:
+            except ValueError as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:

@@ -292,26 +292,37 @@ class _FallbackG2p:
         # trailing separator stripped.
         tokens = _WORD_RE.findall(_normalize_text(text))
         # word-level context for heteronym rules: neighboring WORDS only
-        # (punctuation skipped), lowercase, possessive quotes stripped
-        words = [
-            w for t in tokens if t not in PUNCTUATION if (w := t.strip("'"))
-        ]
-        widx = 0
+        # (punctuation skipped), lowercase, possessive quotes stripped —
+        # and bounded to the CURRENT sentence: a habitual adverb in a later
+        # sentence must not flip this sentence's "read" to present tense
+        sent_end = {".", "!", "?", ";"}
+        sentences: list[list[str]] = [[]]
+        for t in tokens:
+            if t in PUNCTUATION:
+                if t in sent_end and sentences[-1]:
+                    sentences.append([])
+            elif (w := t.strip("'")):
+                sentences[-1].append(w)
+        sent_tuples = [tuple(s) for s in sentences]
+        si, widx = 0, 0  # sentence index, word index within it
         out: list[str] = []
         for tok in tokens:
             if tok in PUNCTUATION:
                 out.append(tok)
+                if tok in sent_end and widx:
+                    si, widx = si + 1, 0
             else:
                 word = tok.strip("'")
                 if not word:
                     continue
-                prev = words[widx - 1] if widx > 0 else None
-                prev2 = words[widx - 2] if widx > 1 else None
-                nxt = words[widx + 1] if widx + 1 < len(words) else None
+                sent = sent_tuples[si]
+                prev = sent[widx - 1] if widx > 0 else None
+                prev2 = sent[widx - 2] if widx > 1 else None
+                nxt = sent[widx + 1] if widx + 1 < len(sent) else None
                 wi = widx
                 widx += 1
                 phones = heteronym_phones(
-                    word, prev, nxt, prev2, sentence=tuple(words), idx=wi)
+                    word, prev, nxt, prev2, sentence=sent, idx=wi)
                 out.extend(
                     phones or _LEXICON.get(word) or rule_letter_to_sound(word)
                 )

@@ -247,6 +247,8 @@ def _plural_content_noun(word: str) -> bool:
         len(word) > 3
         and word.endswith("s")
         and not word.endswith("ss")
+        and "'" not in word  # "nation's contract in ..." is possessive,
+        # not a plural subject — keep the noun default
         and word not in _NOT_PLURAL_NOUNS
         and word not in _FREQ_ADV
         and word not in _V

@@ -121,15 +121,9 @@ class Trainer:
                 self.prev_history = [
                     h for h in json.load(f) if h.get("epoch", 1 << 30) < self.start_epoch
                 ]
-            base = cfg.loss.guided_attn_weight
-            for h in self.prev_history:
-                if "ga_w" in h and h["ga_w"] < base:
-                    # decay is linear from the trigger epoch: invert it
-                    frac = 1.0 - h["ga_w"] / base
-                    self.ga_anneal_start = int(round(
-                        h["epoch"] - frac * cfg.loss.guided_attn_anneal_epochs
-                    ))
-                    break
+            self.ga_anneal_start = self._recover_anneal_start(
+                self.prev_history, cfg.loss
+            )
 
     # ------------------------------------------------------------------ train
 
@@ -227,11 +221,33 @@ class Trainer:
         avg["p_tf"] = p_tf
         if ga_w is not None:
             avg["ga_w"] = float(ga_w)
+            # exact trigger epoch for resume recovery (ga_w alone is
+            # ambiguous while the decay fraction is still 0)
+            avg["ga_anneal_start"] = self.ga_anneal_start
         self.log.info(
             "epoch %d done: loss %.4f | p_tf %.3f | %.1f audio-s/s",
             epoch, avg.get("total", float("nan")), p_tf, avg["audio_s_per_s"],
         )
         return avg
+
+    @staticmethod
+    def _recover_anneal_start(prev_history: list[dict], loss_cfg) -> int | None:
+        """Recover the anneal trigger epoch from a resumed history.
+
+        Prefers the explicit ``ga_anneal_start`` record (written since
+        round 4 — exact even for epochs where the decay fraction is still
+        0); falls back to inverting the linear decay from the first row
+        whose ``ga_w`` dropped below the base weight (legacy histories)."""
+        base = loss_cfg.guided_attn_weight
+        for h in prev_history:
+            if h.get("ga_anneal_start") is not None:
+                return int(h["ga_anneal_start"])
+            if "ga_w" in h and h["ga_w"] < base:
+                frac = 1.0 - h["ga_w"] / base
+                return int(round(
+                    h["epoch"] - frac * loss_cfg.guided_attn_anneal_epochs
+                ))
+        return None
 
     def _guided_weight(self, epoch: int) -> float | None:
         """Per-epoch guided-attention weight under diagonality-triggered
@@ -377,6 +393,10 @@ class Trainer:
                     self.ga_anneal_start,
                     self.ga_anneal_start + cfg.loss.guided_attn_anneal_epochs - 1,
                 )
+            if "ga_anneal_start" in train_metrics:
+                # the trigger fires after train_epoch: make the trigger
+                # epoch's own row already carry it for resume recovery
+                train_metrics["ga_anneal_start"] = self.ga_anneal_start
             history.append({
                 "epoch": epoch, **train_metrics, "val_loss": val_loss,
                 **{f"val_{k}": v for k, v in val_metrics.items() if k != "total"},
