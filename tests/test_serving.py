@@ -66,6 +66,34 @@ def test_batcher_failure_delivery(synth):
     assert b.stats()["n_requests"] == 0
 
 
+def test_batcher_close_drains_leftover_requests():
+    """A request still queued when the worker exits must get a failure,
+    not hang its caller forever (round-4 review fix). Uses a fake synth
+    whose decode blocks until released, so the timing is deterministic."""
+    import threading as th
+
+    release = th.Event()
+    entered = th.Event()
+
+    class SlowSynth:
+        def synthesize(self, texts, max_len=None):
+            entered.set()
+            release.wait(timeout=60)
+            return [np.zeros((80, 3), np.float32) for _ in texts]
+
+    b = DynamicBatcher(SlowSynth(), max_batch=1, max_wait_ms=1)
+    f1 = b.submit("a")          # worker picks this up and blocks
+    assert entered.wait(timeout=30)
+    f2 = b.submit("b")          # still queued when close() gives up waiting
+    b.close(timeout=0.2)        # join times out: worker is mid-decode
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=60)   # drained with a failure, not hung forever
+    release.set()               # wedged worker comes back, finds sentinel
+    assert f1.result(timeout=60).shape == (80, 3)
+    with pytest.raises(RuntimeError):
+        b.submit("c")           # and the batcher stays closed
+
+
 def test_batcher_closed_rejects(synth):
     b = DynamicBatcher(synth, max_batch=2, max_wait_ms=10, max_len=12)
     b.close()

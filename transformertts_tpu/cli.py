@@ -186,9 +186,24 @@ def cmd_serve_http(args):
     server = make_http_server(batcher, cfg, host=args.host, port=args.port)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
-          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})",
+          flush=True)
+    # serve on a side thread and park on an event: SIGTERM (and SIGINT,
+    # when not inherited-ignored by a background shell) both release it
+    # for a graceful drain + stats print
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: stop.set())
+        except (ValueError, OSError):
+            pass
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
     try:
-        server.serve_forever()
+        stop.wait()
     except KeyboardInterrupt:
         pass
     finally:

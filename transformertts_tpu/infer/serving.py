@@ -116,7 +116,14 @@ class DynamicBatcher:
                 req = self._q.get_nowait()
             except queue.Empty:
                 break
-            if req is not None and not req.future.done():
+            if req is None:
+                if self._worker.is_alive():
+                    # join timed out mid-decode: leave the sentinel for the
+                    # wedged worker so it still exits when it comes back
+                    self._q.put(None)
+                    break
+                continue
+            if not req.future.done():
                 req.future.set_exception(RuntimeError("batcher closed"))
 
     def __enter__(self):
