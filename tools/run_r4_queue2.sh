@@ -1,13 +1,14 @@
 #!/bin/bash
-# Round-4 TPU job queue, stage 2: waits for stage 1 (run_r4_queue.sh) to
-# finish so the chip is free, then runs the short on-chip jobs:
+# Round-4 TPU job queue, stage 2: waits for the corpus-v2 flagship
+# (run_r4_queue3.sh — reordered ahead of it mid-round for schedule
+# safety: the v2 flagship is the highest-value chip job), then runs:
 #   4. d1024 on silicon (bench + 20-epoch short train + TP projection)
 #   5. batched decode megakernel numerics A/B on the trained flagship
 #      checkpoint (VERDICT r3 weak #2)
 set -u
 cd "$(dirname "$0")/.."
 
-until grep -q "all jobs processed" /tmp/r4_queue.log 2>/dev/null; do
+until grep -q "all jobs processed" /tmp/r4_queue3.log 2>/dev/null; do
   sleep 60
 done
 

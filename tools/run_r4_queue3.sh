@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-4 TPU job queue, stage 3: waits for stage 2 (run_r4_queue2.sh)
+# Round-4 TPU job queue, stage 3: waits for stage 1 (run_r4_queue.sh)
 # so the chip is free, then runs the corpus-v2 flagship (the
 # distribution lever on the hard-half free-running gap) and a final
 # 16-item free eval of its checkpoint.
 set -u
 cd "$(dirname "$0")/.."
 
-until grep -q "all jobs processed" /tmp/r4_queue2.log 2>/dev/null; do
+until grep -q "all jobs processed" /tmp/r4_queue.log 2>/dev/null; do
   sleep 60
 done
 
