@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-4 TPU job queue, stage 4: waits for d1024/mega (stage 2, reordered last), then runs the
+# Round-4 TPU job queue, stage 4: waits for the stacked flagship (stage 6), then runs the
 # serving-throughput bench on the trained flagship checkpoint (the
 # measured counterpart to the DynamicBatcher/serve-http feature).
 set -u
 cd "$(dirname "$0")/.."
 
-until grep -q "all jobs processed" /tmp/r4_queue2.log 2>/dev/null; do
+until grep -q "all jobs processed" /tmp/r4_queue6.log 2>/dev/null; do
   sleep 60
 done
 
