@@ -29,7 +29,10 @@ run() {
   return 0
 }
 
-run flagship_stack python -m transformertts_tpu.cli train \
+# Schedule-bounded: the driver's end-of-round bench needs the chip, so
+# cap the training; if it's cut short, evaluate the latest checkpoint
+# anyway (the CLI resumes from checkpoints, so a rerun continues).
+run flagship_stack timeout 7200 python -m transformertts_tpu.cli train \
   --set path.data=/tmp/conv_r4_4kv2/LJSpeech-1.1 \
   --set path.preprocessed=/tmp/conv_r4_4kv2/prep \
   --set path.experiment=/tmp/conv_r4_4kv2/exp \
@@ -39,6 +42,9 @@ run flagship_stack python -m transformertts_tpu.cli train \
   --set loss.guided_attn_weight=10.0 \
   --set loss.stop_gate_k=3 \
   --exp-dir /tmp/conv_r4_4kv2/exp/flagship_stack
+# eval regardless of the train rc: a timeout-cut run still has
+# checkpoints worth measuring
+touch /tmp/r4_done_flagship_stack
 run eval_stack env JAX_PLATFORMS=cpu python tools/eval_free_running.py \
   /tmp/conv_r4_4kv2/prep \
   /tmp/conv_r4_4kv2/exp/flagship_stack/checkpoints \
