@@ -46,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Per-kernel scoped-VMEM cap (CompilerParams.vmem_limit_bytes).  The
+# default 16 MiB scoped limit bounds only the kernel's STACK (operand
+# windows are allocated outside it — measured round 4: B=4 with ~50 MB
+# of cache operands compiled fine while B=8's 16.84 MiB stack was
+# rejected at 16 MiB, /tmp/r4_mega_numerics.log).  64 MiB leaves the
+# remaining ~64 MiB of a v5e core's 128 MiB VMEM for operands; the
+# decode_step_fits gate keeps the combined footprint under hardware.
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
 
 def pack_decode_weights(params, cfg, dtype=jnp.bfloat16):
     """Flax param tree -> dict of stacked per-layer arrays for the kernel.
@@ -268,6 +277,9 @@ def decode_step(
             jax.ShapeDtypeStruct((L, H, 1, dh), self_k.dtype),
             jax.ShapeDtypeStruct((L, H, 1, dh), self_v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(t.reshape(1), frame, pe_row, cross_bias, self_k, self_v, cross_k,
       cross_v, *weights)
@@ -275,18 +287,37 @@ def decode_step(
 
 
 def decode_step_fits(cfg, n_pos: int, tp: int, batch: int = 1) -> bool:
-    """VMEM budget check: weights + caches + activations must fit.
+    """VMEM budget check: operand windows + kernel stack must fit.
 
-    ``batch`` scales the cache (and activation headroom) terms — the
-    batched kernel's caches are (L, H, B, T, dh), B times the batch-1
-    layout, while the weights are shared.
+    Two separately-capped budgets, calibrated against round-4 on-chip
+    compiles (/tmp/r4_mega_numerics.log):
+
+    - The kernel STACK (score/exp temporaries) is bounded by the scoped
+      limit we request via ``CompilerParams(vmem_limit_bytes)``.  It is
+      dominated by the (B, B*n_pos) fp32 buffers of the unrolled head
+      loops — measured 16.84 MiB at B=8, n_pos=1500 (~44 live buffers);
+      modeled as 4 MiB + 46 * B^2 * n_pos * 4 B.
+    - Operand windows (weights + caches, whole-array BlockSpecs) live
+      OUTSIDE the scoped limit but inside the core's 128 MiB VMEM; the
+      lane dim pads dh=64 -> 128.  B=4 (~50 MB caches) compiled fine on
+      a v5e; combined cap 120 MiB leaves allocator margin.
+
+    ``batch`` scales the cache and stack terms — the batched kernel's
+    caches are (L, H, B, T, dh), B times the batch-1 layout, while the
+    weights are shared.
     """
     m = cfg.model
     D, F, L, H = m.d_model, m.decoder_d_ffn, m.decoder_n_layers, m.decoder_n_head
-    dh_pad = max(128, D // H)  # lane padding
-    weights = L * (2 * D * F + 8 * D * D) + 4 * D * max(128, m.n_mels + 8)
-    caches = batch * 2 * L * H * (n_pos + tp) * dh_pad
-    return (weights + caches) * 2 + batch * 2 * 1024 * 1024 < 14 * 1024 * 1024
+    dh = D // H
+    dh_pad = max(128, dh)  # lane padding of the head dim
+    weights = L * (4 * H * D * dh_pad + 2 * H * dh * D + 2 * D * F) + 2 * D * dh_pad
+    caches = 2 * batch * L * H * (n_pos + tp) * dh_pad  # k+v over self (n_pos) + cross (tp)
+    stack = 4 * 1024 * 1024 + 46 * batch * batch * n_pos * 4
+    total = (weights + caches) * 2 + stack  # bf16 operands
+    return (
+        stack < _VMEM_LIMIT_BYTES - 1024 * 1024
+        and total < 120 * 1024 * 1024
+    )
 
 
 # --------------------------------------------------------------- batched
@@ -453,5 +484,8 @@ def decode_step_batched(
             jax.ShapeDtypeStruct((L, H, b, dh), self_k.dtype),
             jax.ShapeDtypeStruct((L, H, b, dh), self_v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(t.reshape(1), *data, *weights)
