@@ -32,9 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 
 
-def _pick_rows(n: int) -> int:
+def _pick_rows(n: int, d: int) -> int:
+    """Largest row block whose backward fits the 16 MiB scoped-VMEM stack.
+
+    The backward keeps ~10 (rows, d) fp32 temporaries live on the Mosaic
+    stack (z, zhat, dy, gf, dz, dh + input casts + keep mask); a fixed
+    512-row block overflows at d=1024 — (512, 1024) blocks were rejected
+    at 16.59 MiB on a v5e (round 4, /tmp/d1024_train.log) — so cap
+    rows * d * 40 B under the limit with headroom.  d<=512 keeps the
+    tuned 512-row blocks unchanged."""
+    budget_rows = (14 * 1024 * 1024) // (40 * d)
     for cand in (512, 256, 128, 64, 32, 16, 8):
-        if n % cand == 0:
+        if cand <= budget_rows and n % cand == 0:
             return cand
     return n
 
@@ -107,7 +116,7 @@ def _fwd(x, h, gamma, beta, seed, dropout, eps, interpret):
     n = x.size // d
     x2 = x.reshape(n, d)
     h2 = h.reshape(n, d)
-    rows = _pick_rows(n)
+    rows = _pick_rows(n, d)
     g2 = gamma.reshape(1, d)
     b2 = beta.reshape(1, d)
 
@@ -136,7 +145,7 @@ def _bwd(dropout, eps, interpret, res, g):
     orig_shape = x.shape
     d = x.shape[-1]
     n = x.size // d
-    rows = _pick_rows(n)
+    rows = _pick_rows(n, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
