@@ -108,3 +108,21 @@ def test_batched_megakernel_matches_xla(r):
     np.testing.assert_allclose(
         np.asarray(out["pred_stop"]), np.asarray(ref["pred_stop"]),
         atol=2e-4, rtol=1e-4)
+
+
+def test_fits_gate_matches_hardware_evidence():
+    """decode_step_fits models the round-4 on-chip compile outcomes:
+    B<=8 at serving shapes loads (operands sit outside the scoped limit;
+    B=4 compiled with ~50 MB of caches, B=8's stack fits the requested
+    64 MiB), while B>=12 and the d1024 shape exceed total VMEM."""
+    from transformertts_tpu.config import load_config
+    from transformertts_tpu.ops.pallas.decode_step import decode_step_fits
+
+    cfg = load_config(None, [])
+    for b in (1, 2, 4, 8):
+        assert decode_step_fits(cfg, 1500, 256, batch=b), b
+    assert not decode_step_fits(cfg, 1500, 256, batch=12)
+    assert not decode_step_fits(cfg, 1500, 256, batch=16)
+
+    d1024 = load_config("configs/large_tp.yaml", [])
+    assert not decode_step_fits(d1024, 1024, 192, batch=1)

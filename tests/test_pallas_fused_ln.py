@@ -143,3 +143,19 @@ def test_matches_flax_layernorm():
     ref = ln.apply(variables, x + h)
     out = residual_dropout_layernorm(x, h, gamma, beta, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pick_rows_scales_with_width():
+    """Row blocks shrink as d grows so the backward's ~10 (rows, d) fp32
+    stack temporaries stay under the 16 MiB scoped-VMEM limit: (512, 1024)
+    was rejected on-chip at 16.59 MiB (round 4, /tmp/d1024_train.log)."""
+    from transformertts_tpu.ops.pallas.fused_ln import _pick_rows
+
+    assert _pick_rows(8192, 256) == 512   # tuned parity-config block kept
+    assert _pick_rows(8192, 512) == 512   # paper config unchanged
+    assert _pick_rows(8192, 1024) == 256  # the rejected case, halved
+    assert _pick_rows(8192, 4096) == 64
+    for d in (256, 512, 1024, 4096):
+        rows = _pick_rows(8192, d)
+        assert rows * d * 40 < 15 * 1024 * 1024, (d, rows)
+    assert _pick_rows(7, 256) == 7  # odd tiny n: single block (interpret)
