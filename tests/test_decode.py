@@ -151,3 +151,110 @@ def test_decode_attn_window_runs(setup):
     with _pytest.raises(ValueError):
         make_decode_fn(model, cfg_w, max_len=8, use_megakernel=True)(
             variables, phoneme, lens)
+
+
+def _spec_cfg(k, tau, r=1):
+    import dataclasses
+
+    cfg = CFG
+    if r > 1:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, reduction_factor=r))
+    return cfg.replace(runtime=dataclasses.replace(
+        cfg.runtime, decode_speculative_k=k, decode_speculative_tau=tau,
+    ))
+
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_speculative_tau0_equals_sequential(r):
+    """tau=0 rejects every draft, so the speculative loop degenerates to
+    the exact sequential decode (chunk position 0 always uses the true
+    previous frame and attends only cache positions <= t)."""
+    import dataclasses
+
+    cfg = _spec_cfg(4, 0.0, r=r)
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(7)
+    phoneme = jnp.asarray(rng.integers(1, 60, (1, TP)), jnp.int32)
+    lens = jnp.array([TP])
+    mel = jnp.zeros((1, 8 * r, cfg.model.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, mel, lens, jnp.array([8 * r]), train=False,
+    )
+    max_len = 8 * r
+    base = make_decode_fn(model, CFG if r == 1 else cfg.replace(
+        runtime=dataclasses.replace(cfg.runtime, decode_speculative_k=0)
+    ), max_len=max_len, stop_threshold=2.0)(variables, phoneme, lens)
+    spec = make_decode_fn(model, cfg, max_len=max_len, stop_threshold=2.0)(
+        variables, phoneme, lens)
+
+    assert int(spec["n_verify_passes"]) == max_len // r  # one group per pass
+    assert int(spec["n_frames"]) == int(base["n_frames"])
+    np.testing.assert_allclose(
+        np.asarray(spec["pred_melspec"]), np.asarray(base["pred_melspec"]),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(spec["pred_stop"]), np.asarray(base["pred_stop"]),
+        atol=1e-5)
+
+
+def test_speculative_accepts_with_loose_tau():
+    """A huge tau accepts every draft: the decode finishes in ~n_groups/K
+    verify passes and still returns well-formed outputs."""
+    cfg = _spec_cfg(4, 1e9)
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(9)
+    phoneme = jnp.asarray(rng.integers(1, 60, (1, TP)), jnp.int32)
+    lens = jnp.array([TP])
+    mel = jnp.zeros((1, 8, cfg.model.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, mel, lens, jnp.array([8]), train=False,
+    )
+    out = make_decode_fn(model, cfg, max_len=8, stop_threshold=2.0)(
+        variables, phoneme, lens)
+    assert int(out["n_verify_passes"]) == 2  # ceil(8 groups / K=4)
+    assert int(out["n_frames"]) == 8
+    assert out["pred_melspec"].shape == (1, 8, cfg.model.n_mels)
+    assert np.isfinite(np.asarray(out["pred_melspec"])).all()
+
+
+def test_speculative_batch_falls_through(setup):
+    """B > 1 ignores the speculative flag (single-stream path only) and
+    produces the standard decode output."""
+    model, variables, phoneme, lens = setup
+    cfg = _spec_cfg(4, 0.15)
+    out = make_decode_fn(model, cfg, max_len=MAX_LEN, stop_threshold=2.0)(
+        variables, phoneme, lens)
+    base = make_decode_fn(model, CFG, max_len=MAX_LEN, stop_threshold=2.0)(
+        variables, phoneme, lens)
+    assert "n_verify_passes" not in out
+    np.testing.assert_allclose(
+        np.asarray(out["pred_melspec"]), np.asarray(base["pred_melspec"]),
+        atol=1e-6)
+
+
+def test_speculative_stop_matches_sequential():
+    """Stop decisions truncate acceptance: with a reachable threshold the
+    speculative decode stops at the same frame as the sequential loop
+    (tau=0 path)."""
+    cfg = _spec_cfg(4, 0.0)
+    model = TransformerTTS(cfg.model)
+    rng = np.random.default_rng(11)
+    phoneme = jnp.asarray(rng.integers(1, 60, (1, TP)), jnp.int32)
+    lens = jnp.array([TP])
+    mel = jnp.zeros((1, 8, cfg.model.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, mel, lens, jnp.array([8]), train=False,
+    )
+    # random-init stop logits hover near 0 -> sigmoid ~0.5: 0.45 stops early
+    base = make_decode_fn(model, CFG, max_len=8, stop_threshold=0.45)(
+        variables, phoneme, lens)
+    spec = make_decode_fn(model, cfg, max_len=8, stop_threshold=0.45)(
+        variables, phoneme, lens)
+    assert int(base["n_frames"]) < 8  # the test is vacuous otherwise
+    assert int(spec["n_frames"]) == int(base["n_frames"])
+    np.testing.assert_allclose(
+        np.asarray(spec["pred_melspec"]), np.asarray(base["pred_melspec"]),
+        atol=1e-5)

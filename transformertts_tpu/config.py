@@ -234,6 +234,20 @@ class RuntimeConfig:
     # lean on the attention context rather than its own (blurry) frame
     # history.  XLA-loop decode path only (megakernel auto-gate turns off).
     infer_prenet_dropout: float = 0.0
+    # Speculative multi-frame decode (single-stream, batch-1, XLA loop):
+    # draft the next K-1 decoder input frames by linear extrapolation
+    # (mel trajectories are smooth), run ONE chunked verify pass over all
+    # K positions (the decoder attends the cache + the chunk's own K/V
+    # rows), and accept the leading run of drafts whose max-abs error vs
+    # the verified previous-group output is <= decode_speculative_tau
+    # (normalized-mel units).  Each verify pass costs ~one step of launch
+    # overhead (the B=1 bottleneck) but advances by the accepted count,
+    # so frames/s scales with the measured acceptance rate.  Accepted
+    # outputs were computed from inputs within tau of exact — a bounded
+    # input perturbation, NOT bit-exact decode; quality deltas are
+    # measured (free MCD-DTW A/B) before any default changes.  0/1 = off.
+    decode_speculative_k: int = 0
+    decode_speculative_tau: float = 0.15
 
     def validate(self) -> None:
         if self.compute_dtype not in ("bfloat16", "float32"):
@@ -244,6 +258,10 @@ class RuntimeConfig:
             raise ValueError("phoneme_buckets must be sorted and non-empty")
         if list(self.mel_buckets) != sorted(self.mel_buckets) or not self.mel_buckets:
             raise ValueError("mel_buckets must be sorted and non-empty")
+        if self.decode_speculative_k < 0:
+            raise ValueError("decode_speculative_k must be >= 0")
+        if self.decode_speculative_tau < 0.0:
+            raise ValueError("decode_speculative_tau must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -146,6 +146,24 @@ def make_decode_fn(
                 "runtime.infer_prenet_dropout / decode_attn_window require "
                 "the XLA decode loop (use_megakernel must not be forced True)"
             )
+        spec_k = int(cfg.runtime.decode_speculative_k)
+        if spec_k > 1:
+            if pdrop > 0.0 or attn_win > 0:
+                raise ValueError(
+                    "decode_speculative_k is incompatible with "
+                    "infer_prenet_dropout / decode_attn_window"
+                )
+            if use_megakernel:
+                raise ValueError(
+                    "decode_speculative_k uses the XLA chunk loop "
+                    "(use_megakernel must not be forced True)"
+                )
+            if b == 1:  # single-stream latency path only; batches fall through
+                return _speculative_decode(
+                    bound, cfg, cross_kv, cross_bias, dtype,
+                    n_pos, max_len, stop_threshold, spec_k,
+                    float(cfg.runtime.decode_speculative_tau),
+                )
         if mega and b > 1:
             # batched kernel — auto-gated by decode_megakernel_max_batch
             # (default 8 since the round-3 hardware A/B: 2.2-2.9x vs the
@@ -273,6 +291,157 @@ def make_decode_fn(
         }
 
     return jax.jit(decode)
+
+
+def _speculative_decode(
+    bound, cfg, cross_kv, cross_bias, dtype,
+    n_pos, max_len, stop_threshold, spec_k, tau,
+):
+    """Draft-extrapolate + chunk-verify decode (batch 1, XLA path).
+
+    Replaces the per-frame sequential loop (the reference re-runs the
+    whole decoder once per frame, model/model.py:354-374; our XLA loop
+    runs one cached step per frame) with a speculative loop over groups:
+
+    1. draft the next ``spec_k - 1`` decoder INPUT frames by linear
+       extrapolation of the mel trajectory (stride = reduction_factor) —
+       mel spectrograms are smooth, so a zero-cost draft is often right;
+    2. run the decoder ONCE over all ``spec_k`` positions: each layer
+       first writes the chunk's K/V rows into the cache, then attends
+       with a per-row bias admitting positions <= t + row, so position j
+       is computed exactly as if its drafted input were real;
+    3. accept the leading run of positions whose drafted input matched
+       the verified output of the previous position within ``tau``
+       (max-abs over mel bins, normalized units), and advance by the
+       accepted count m.
+
+    Position 0 of every chunk uses the TRUE previous frame, so m >= 1
+    per pass and tau=0 degenerates to the exact sequential decode at one
+    group per pass (pinned in tests/test_decode.py).  Accepted outputs
+    beyond position 0 were computed from inputs within tau of exact — a
+    bounded input perturbation, not bit-exact decode; free-running
+    quality deltas are measured on-chip before any default changes.
+
+    Layout: ``spec_k`` padding rows/frames beyond n_pos keep every
+    dynamic_update_slice in-bounds (XLA clamps out-of-range starts, and
+    clamping would silently corrupt earlier rows); rejected chunk
+    positions are written as zeros / NEG_INF so the zero-tail invariant
+    the postnet relies on survives.
+    """
+    m_cfg = cfg.model
+    n_layers, n_heads = m_cfg.decoder_n_layers, m_cfg.decoder_n_head
+    d_head = m_cfg.d_model // n_heads
+    n_mels, r = m_cfg.n_mels, m_cfg.reduction_factor
+    K = spec_k
+    cap = n_pos + K  # padded cache/buffer capacity (groups)
+    b = 1
+    init = {
+        "t": jnp.zeros((), jnp.int32),
+        "frames": jnp.zeros((b, cap * r + 1, n_mels), jnp.float32),
+        "stops": jnp.full((b, cap * r), NEG_INF, jnp.float32),
+        "stopped": jnp.zeros((b,), bool),
+        "self_k": jnp.zeros((n_layers, b, cap, n_heads, d_head), dtype),
+        "self_v": jnp.zeros((n_layers, b, cap, n_heads, d_head), dtype),
+        "passes": jnp.zeros((), jnp.int32),
+    }
+
+    def cond(s):
+        return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
+
+    rows = jnp.arange(K)
+    cols = jnp.arange(cap)
+
+    def body(s):
+        t = s["t"]
+        f0 = jax.lax.dynamic_slice(
+            s["frames"], (0, t * r, 0), (b, 1, n_mels)
+        )
+        prev = jax.lax.dynamic_slice(
+            s["frames"], (0, jnp.maximum(t * r - r, 0), 0), (b, 1, n_mels)
+        )
+        # linear extrapolation with the input stride; at t=0 prev==f0
+        # (the go frame), so drafts are constant — harmless, they are
+        # verified like any other draft.
+        slope = f0 - prev
+        j = jnp.arange(K, dtype=jnp.float32)[None, :, None]
+        inputs = f0 + j * slope  # (1, K, n_mels); j=0 is the true input
+        x = bound.prenet_step(inputs, t)  # (1, K, D)
+
+        # per-row causal bias over the padded cache: row j sees <= t+j
+        bias = jnp.where(
+            cols[None, :] <= t + rows[:, None], 0.0, NEG_INF
+        )[None, None]  # (1, 1, K, cap)
+
+        self_k, self_v = s["self_k"], s["self_v"]
+        for li, layer in enumerate(bound.decoder.layers):
+            k_new, v_new = layer.project_self_kv(x)  # (1, K, H, Dh)
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_new[None].astype(self_k.dtype), (li, 0, t, 0, 0)
+            )
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_new[None].astype(self_v.dtype), (li, 0, t, 0, 0)
+            )
+            ck, cv = cross_kv[li]
+            x = layer.cached_step(
+                x, self_k[li], self_v[li], ck, cv, bias, cross_bias
+            )
+
+        mel_out, stop_out = bound.decode_frame_heads(x)  # (1,K*r,C),(1,K*r)
+        mel32 = mel_out.astype(jnp.float32)
+
+        # verify: draft_j vs the verified last frame of group j-1
+        drafts = inputs[:, 1:, :].astype(jnp.float32)  # (1, K-1, C)
+        actual = mel32[:, r - 1:(K - 1) * r:r, :]      # (1, K-1, C)
+        ok = jnp.max(jnp.abs(drafts - actual), axis=2) <= tau  # (1, K-1)
+        m = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1))
+
+        # stop votes truncate acceptance at the first voting group
+        gstop = jnp.any(
+            jax.nn.sigmoid(stop_out.reshape(b, K, r)) >= stop_threshold,
+            axis=2,
+        )  # (1, K)
+        voted = gstop[0] & (jnp.arange(K) < m)
+        any_vote = jnp.any(voted)
+        first = jnp.argmax(voted)
+        m = jnp.where(any_vote, jnp.minimum(m, first + 1), m)
+        m = jnp.minimum(m, n_pos - t)  # never advance past n_pos
+
+        fmask = (jnp.arange(K * r) < m * r)[None, :, None]
+        frames = jax.lax.dynamic_update_slice(
+            s["frames"], jnp.where(fmask, mel32, 0.0), (0, t * r + 1, 0)
+        )
+        smask = (jnp.arange(K * r) < m * r)[None, :]
+        stops = jax.lax.dynamic_update_slice(
+            s["stops"],
+            jnp.where(smask, stop_out.astype(jnp.float32), NEG_INF),
+            (0, t * r),
+        )
+        return {
+            "t": t + m,
+            "frames": frames,
+            "stops": stops,
+            "stopped": s["stopped"] | any_vote[None],
+            "self_k": self_k,
+            "self_v": self_v,
+            "passes": s["passes"] + 1,
+        }
+
+    final = jax.lax.while_loop(cond, body, init)
+    n_frames = final["t"] * r
+    pred = final["frames"][:, 1:max_len + 1, :]
+    stops = final["stops"][:, :max_len]
+    post = bound.apply_postnet(pred).astype(jnp.float32)
+    return {
+        "pred_melspec": pred,
+        "post_melspec": post,
+        "pred_stop": stops,
+        "n_frames": n_frames,
+        "n_frames_per_row": per_row_lengths(
+            stops, n_frames, stop_threshold
+        ),
+        "n_verify_passes": final["passes"],
+    }
+
 
 
 def _mega_context(cfg, variables, memory, cross_kv, cross_bias):

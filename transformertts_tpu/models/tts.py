@@ -175,15 +175,15 @@ class TransformerTTS(nn.Module):
         return [layer.project_cross_kv(memory) for layer in self.decoder.layers]
 
     def decode_frame_heads(self, x: jnp.ndarray):
-        """Final projections for one decoded hidden position.
+        """Final projections for decoded hidden positions (B, k, d_model).
 
-        Returns mel frames (B, r, n_mels) and stop logits (B, r) — the
-        reduction_factor frames this position emits (r=1: one frame).
+        Returns mel frames (B, k*r, n_mels) and stop logits (B, k*r) —
+        each of the k positions emits reduction_factor frames (the usual
+        decode step passes k=1; the speculative chunk passes k>1).
         """
         b = x.shape[0]
-        r = self.cfg.reduction_factor
-        mel = self.mel_linear(x).reshape(b, r, self.cfg.n_mels)
-        stop = self.stop_linear(x).reshape(b, r)
+        mel = self.mel_linear(x).reshape(b, -1, self.cfg.n_mels)
+        stop = self.stop_linear(x).reshape(b, -1)
         return mel, stop
 
     def apply_postnet(self, mel: jnp.ndarray) -> jnp.ndarray:
