@@ -99,9 +99,13 @@ def main():
             cfg.runtime, decode_speculative_k=k, decode_speculative_tau=tau,
         ))
 
+    # Baselines must NOT inherit a --set runtime.decode_speculative_* probe:
+    # the megakernel variant would refuse to build and the "xla_loop"
+    # baseline would silently run speculatively, voiding the A/B.
+    base_cfg = spec_cfg(0, cfg.runtime.decode_speculative_tau)
     variants = [
-        ("xla_loop", make_decode_fn(model, cfg, use_megakernel=False)),
-        ("megakernel", make_decode_fn(model, cfg, use_megakernel=True)),
+        ("xla_loop", make_decode_fn(model, base_cfg, use_megakernel=False)),
+        ("megakernel", make_decode_fn(model, base_cfg, use_megakernel=True)),
     ]
     for part in args.grid.split(","):
         k_s, tau_s = part.split(":")

@@ -159,6 +159,16 @@ def make_decode_fn(
                     "(use_megakernel must not be forced True)"
                 )
             if b == 1:  # single-stream latency path only; batches fall through
+                if n_pos + spec_k - 1 > cfg.model.max_len:
+                    # the chunk reads PE rows [t, t+K); a start past the
+                    # table end would CLAMP (dynamic_slice semantics) and
+                    # silently shift even position 0's encoding, which is
+                    # always accepted
+                    raise ValueError(
+                        f"max_len/r + decode_speculative_k - 1 "
+                        f"({n_pos + spec_k - 1}) must be <= model.max_len "
+                        f"({cfg.model.max_len})"
+                    )
                 return _speculative_decode(
                     bound, cfg, cross_kv, cross_bias, dtype,
                     n_pos, max_len, stop_threshold, spec_k,

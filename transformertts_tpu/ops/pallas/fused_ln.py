@@ -33,14 +33,22 @@ from transformertts_tpu.ops.pallas.dropout_mask import keep_mask, seed_from_rng
 
 
 def _pick_rows(n: int, d: int) -> int:
-    """Largest row block whose backward fits the 16 MiB scoped-VMEM stack.
+    """Largest row block whose BACKWARD fits the 16 MiB scoped-VMEM stack.
 
     The backward keeps ~10 (rows, d) fp32 temporaries live on the Mosaic
-    stack (z, zhat, dy, gf, dz, dh + input casts + keep mask); a fixed
-    512-row block overflows at d=1024 — (512, 1024) blocks were rejected
-    at 16.59 MiB on a v5e (round 4, /tmp/d1024_train.log) — so cap
-    rows * d * 40 B under the limit with headroom.  d<=512 keeps the
-    tuned 512-row blocks unchanged."""
+    stack (z, zhat, dy, gf, dz, dh + input casts + keep mask) — 40 B per
+    row element; a fixed 512-row block overflows at d=1024 — (512, 1024)
+    blocks were rejected at 16.59 MiB on a v5e (round 4,
+    /tmp/d1024_train.log) — so cap rows * d * 40 B under the limit with
+    headroom.  d<=512 keeps the tuned 512-row blocks unchanged.
+
+    The forward's live set is about half and would fit larger blocks,
+    but fwd and bwd MUST use the SAME block size: the regenerated
+    dropout mask is keyed on (block index, local row, col)
+    (dropout_mask.keep_mask), so different block heights would assign
+    different masks to the same logical element — silent dropout-
+    gradient corruption, the exact bug class dropout_mask.py exists to
+    prevent.  The forward therefore inherits the backward's budget."""
     budget_rows = (14 * 1024 * 1024) // (40 * d)
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if cand <= budget_rows and n % cand == 0:
