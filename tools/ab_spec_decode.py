@@ -94,9 +94,10 @@ def main():
 
     r = cfg.model.reduction_factor
 
-    def spec_cfg(k, tau):
+    def spec_cfg(k, tau, draft="linear"):
         return cfg.replace(runtime=dataclasses.replace(
             cfg.runtime, decode_speculative_k=k, decode_speculative_tau=tau,
+            decode_speculative_draft=draft,
         ))
 
     # Baselines must NOT inherit a --set runtime.decode_speculative_* probe:
@@ -108,10 +109,12 @@ def main():
         ("megakernel", make_decode_fn(model, base_cfg, use_megakernel=True)),
     ]
     for part in args.grid.split(","):
-        k_s, tau_s = part.split(":")
+        bits = part.split(":")
+        k_s, tau_s = bits[0], bits[1]
+        draft = bits[2] if len(bits) > 2 else "linear"
         variants.append((
-            f"spec_k{k_s}_tau{tau_s}",
-            make_decode_fn(model, spec_cfg(int(k_s), float(tau_s))),
+            f"spec_k{k_s}_tau{tau_s}" + (f"_{draft}" if draft != "linear" else ""),
+            make_decode_fn(model, spec_cfg(int(k_s), float(tau_s), draft)),
         ))
 
     results = {"ckpt": str(args.ckpt_dir), "epoch": epoch, "n": n,

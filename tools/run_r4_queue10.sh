@@ -33,6 +33,6 @@ run() {
 run spec_decode timeout 3000 python tools/ab_spec_decode.py \
   /tmp/conv_r3_ga0_4k/prep \
   /tmp/conv_r3_ga0_4k/exp/flagship_4k/checkpoints \
-  --n 8 --grid 2:0.2,4:0.1,4:0.2,4:0.4,8:0.2 \
+  --n 8 --grid 2:0.2,4:0.1,4:0.2,4:0.4,8:0.2,4:0.2:hold,4:0.4:hold \
   --out ab_spec_decode.json
 echo "[queue10] all jobs processed $(date -u +%FT%TZ)"

@@ -248,6 +248,11 @@ class RuntimeConfig:
     # measured (free MCD-DTW A/B) before any default changes.  0/1 = off.
     decode_speculative_k: int = 0
     decode_speculative_tau: float = 0.15
+    # draft model: "linear" extrapolates the trajectory at the feedback
+    # stride; "hold" repeats the last frame (more conservative at
+    # transients, where linear overshoots).  Measured head-to-head by
+    # tools/ab_spec_decode.py.
+    decode_speculative_draft: str = "linear"
 
     def validate(self) -> None:
         if self.compute_dtype not in ("bfloat16", "float32"):
@@ -262,6 +267,10 @@ class RuntimeConfig:
             raise ValueError("decode_speculative_k must be >= 0")
         if self.decode_speculative_tau < 0.0:
             raise ValueError("decode_speculative_tau must be >= 0")
+        if self.decode_speculative_draft not in ("linear", "hold"):
+            raise ValueError(
+                f"bad decode_speculative_draft: {self.decode_speculative_draft}"
+            )
 
 
 @dataclass(frozen=True)

@@ -342,6 +342,7 @@ def _speculative_decode(
     n_layers, n_heads = m_cfg.decoder_n_layers, m_cfg.decoder_n_head
     d_head = m_cfg.d_model // n_heads
     n_mels, r = m_cfg.n_mels, m_cfg.reduction_factor
+    draft_linear = cfg.runtime.decode_speculative_draft == "linear"
     K = spec_k
     cap = n_pos + K  # padded cache/buffer capacity (groups)
     b = 1
@@ -369,10 +370,11 @@ def _speculative_decode(
         prev = jax.lax.dynamic_slice(
             s["frames"], (0, jnp.maximum(t * r - r, 0), 0), (b, 1, n_mels)
         )
-        # linear extrapolation with the input stride; at t=0 prev==f0
-        # (the go frame), so drafts are constant — harmless, they are
-        # verified like any other draft.
-        slope = f0 - prev
+        # draft: "linear" extrapolates at the input stride ("hold" zeroes
+        # the slope and repeats f0); at t=0 prev==f0 (the go frame), so
+        # drafts are constant either way — harmless, they are verified
+        # like any other draft.
+        slope = (f0 - prev) if draft_linear else jnp.zeros_like(f0)
         j = jnp.arange(K, dtype=jnp.float32)[None, :, None]
         inputs = f0 + j * slope  # (1, K, n_mels); j=0 is the true input
         x = bound.prenet_step(inputs, t)  # (1, K, D)
