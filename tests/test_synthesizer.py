@@ -40,3 +40,15 @@ def test_synthesizer_wav(trained):  # noqa: F811
     y = synth.synthesize_wav("Test.", max_len=12)
     assert y.ndim == 1 and len(y) > 0
     assert np.abs(y).max() <= 1.0
+
+
+def test_synthesizer_warmup(trained):  # noqa: F811
+    """warmup() compiles one decode graph per (bucket, batch) pair and
+    synthesis works afterwards (production cold-start killer)."""
+    cfg, exp, _, _ = trained
+    synth = Synthesizer(cfg, exp / "run1" / "checkpoints")
+    n = synth.warmup(batch_sizes=(1, 2), buckets=(cfg.runtime.phoneme_buckets[0],),
+                     max_len=12)
+    assert n == 2
+    mel = synth.synthesize("Hello world.", max_len=12)[0]
+    assert mel.shape[0] == 80 and np.isfinite(mel).all()

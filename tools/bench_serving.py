@@ -66,13 +66,16 @@ def main():
 
     results = {"ckpt": str(args.ckpt_dir), "backend": jax.default_backend(),
                "max_batch": args.max_batch, "levels": []}
-    # warmup: pre-compile the batch sizes the closed-loop clients will
-    # realize (jit retraces per batch size); other sizes that form at the
-    # ragged tail compile lazily — counted in that request's latency, as
-    # in production cold start
+    # warmup: pre-compile every (phoneme bucket, batch size) decode graph
+    # the closed-loop clients can realize (Synthesizer.warmup).  The first
+    # version of this bench warmed by synthesizing b sample texts, which
+    # only covers the BUCKET those texts happen to hit — the first conc-8
+    # run then paid a 21 s B=8 compile inside a request's latency.  Ragged
+    # tail sizes (batches between the warmed sizes) still compile lazily —
+    # counted in that request's latency, as in production cold start.
     levels = [int(c) for c in args.conc.split(",")]
-    for b in sorted({min(c, args.max_batch) for c in levels} | {1}):
-        synth.synthesize([texts[i % len(texts)] for i in range(b)])
+    sizes = tuple(sorted({min(c, args.max_batch) for c in levels} | {1}))
+    synth.warmup(batch_sizes=sizes)
 
     for conc in levels:
         batcher = DynamicBatcher(

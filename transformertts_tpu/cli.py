@@ -180,6 +180,12 @@ def cmd_serve_http(args):
 
     cfg = load_config(args.config, args.overrides)
     synth = Synthesizer(cfg, args.ckpt)
+    if args.warmup:
+        sizes = sorted({1, args.max_batch})
+        print(f"warming decode graphs (batch sizes {sizes} x "
+              f"{len(cfg.runtime.phoneme_buckets)} buckets)...", flush=True)
+        n = synth.warmup(batch_sizes=tuple(sizes))
+        print(f"warmed {n} decode graphs", flush=True)
     batcher = DynamicBatcher(
         synth, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
@@ -261,6 +267,10 @@ def main(argv=None):
                         help="coalesce up to N concurrent requests per decode")
     p_http.add_argument("--max-wait-ms", type=float, default=20.0,
                         help="max extra latency to wait for batch fill")
+    p_http.add_argument("--warmup", action="store_true",
+                        help="pre-compile decode graphs for batch sizes "
+                        "{1, max_batch} x all phoneme buckets before "
+                        "accepting requests (kills per-shape cold start)")
     p_http.set_defaults(fn=cmd_serve_http)
 
     args = ap.parse_args(argv)

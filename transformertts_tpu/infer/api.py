@@ -76,6 +76,35 @@ class Synthesizer:
         _, seq = phonemize(text, self.g2p)
         return np.asarray(seq, np.int32)
 
+    def warmup(
+        self,
+        batch_sizes: tuple[int, ...] = (1,),
+        buckets: Optional[tuple[int, ...]] = None,
+        max_len: Optional[int] = None,
+    ) -> int:
+        """Pre-compile every decode graph a server will hit.
+
+        jit retraces per (phoneme bucket, batch size) shape, and on TPU a
+        cold trace costs seconds to minutes (remote-compile paths pay a
+        roundtrip each) — production cold start that otherwise lands on
+        the first unlucky request per shape (measured: a 21 s p-max
+        latency spike on the first B=8 batch, bench_serving.json).  Runs
+        one dummy decode per shape; the decode itself runs to max_len
+        (dummy inputs never vote stop), so warmup costs real device
+        seconds per shape on top of the compiles — pay it at server
+        start, not per request.  Returns the number of graphs warmed.
+        """
+        buckets = tuple(buckets or self.cfg.runtime.phoneme_buckets)
+        decode = self._decode_fn(max_len or self.cfg.runtime.infer_max_len)
+        n = 0
+        for bucket in buckets:
+            for b in batch_sizes:
+                phoneme = np.ones((int(b), bucket), np.int32)
+                lens = np.full((int(b),), bucket, np.int32)
+                jax.device_get(decode(self.variables, phoneme, lens))
+                n += 1
+        return n
+
     def synthesize(
         self,
         texts: str | list[str],
