@@ -78,7 +78,7 @@ def main():
     state, epoch = CheckpointManager(args.ckpt_dir).restore(state, step=args.step)
     if state is None:
         raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
 
     ds = LJSpeechDataset(cfg.path.preprocessed, "val")
     n = min(args.n, len(ds))

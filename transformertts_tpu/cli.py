@@ -100,7 +100,7 @@ def cmd_synthesize(args):
 
     decode = make_decode_fn(model, cfg)
     out = jax.device_get(
-        decode({"params": state.params, "batch_stats": state.batch_stats},
+        decode({"params": state.eval_params, "batch_stats": state.batch_stats},
                phoneme, np.array([len(seq)], np.int32))
     )
     n = int(out["n_frames"])

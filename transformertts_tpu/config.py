@@ -111,12 +111,20 @@ class TrainingConfig:
     teacher_forcing_mode: str = "linear"  # linear | cosine | constant
     teacher_forcing_warmup_epochs: int = 10
     scheduled_sampling_block: int = 8  # L_bar (ref: utils/util.py:117)
+    # Exponential moving average of the parameters (opt-in; not in the
+    # reference).  When > 0, an EMA copy is updated every optimizer step
+    # (ema = d*ema + (1-d)*params) and used for validation, free-running
+    # eval, and synthesis — a standard stabilizer for autoregressive
+    # inference quality.  0.0 = off (reference semantics).
+    ema_decay: float = 0.0
 
     def validate(self) -> None:
         if self.teacher_forcing_mode not in ("linear", "cosine", "constant"):
             raise ValueError(f"bad teacher_forcing_mode: {self.teacher_forcing_mode}")
         if self.batch_size <= 0 or self.grad_acc_steps <= 0:
             raise ValueError("batch_size and grad_acc_steps must be positive")
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1): {self.ema_decay}")
 
 
 @dataclass(frozen=True)

@@ -56,7 +56,7 @@ class Synthesizer:
             state, _ = CheckpointManager(checkpoint_dir).restore(state)
             if state is None:
                 raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
         self.variables = variables
 
         if stats is None and cfg.audio.normalize_mel:

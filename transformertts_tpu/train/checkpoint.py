@@ -58,15 +58,68 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state_template, step: Optional[int] = None):
-        """Returns (state, epoch) or (None, 0) when no checkpoint exists."""
+        """Returns (state, epoch) or (None, 0) when no checkpoint exists.
+
+        Optional TrainState fields added after a checkpoint was written
+        (``ema_params``, round 4) are tolerated in both directions: a
+        None-valued template field missing on disk restores as None, and a
+        populated template field missing on disk (resuming an old run with
+        EMA newly enabled) warm-starts from the restored ``params``."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None, 0
-        template = {
-            "state": serialization.to_state_dict(jax.device_get(state_template)),
-            "meta": {"epoch": np.asarray(0, np.int32)},
-        }
-        payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        state_sd = serialization.to_state_dict(jax.device_get(state_template))
+
+        # orbax restore templates must match the ON-DISK tree exactly, and
+        # the optional ``ema_params`` field varies across checkpoint
+        # generations: absent (pre-round-4 files), a None entry (EMA-off
+        # saves since round 4), or a param tree (EMA-on saves).  The disk
+        # structure cannot be read reliably from a fresh process
+        # (item_metadata needs a handler registry), so probe the three
+        # template shapes in order of likelihood for this caller.
+        def _attempt(ema_value):
+            tmpl_state = dict(state_sd)
+            if ema_value == "drop":
+                tmpl_state.pop("ema_params", None)
+            else:
+                tmpl_state["ema_params"] = ema_value
+            template = {
+                "state": tmpl_state,
+                "meta": {"epoch": np.asarray(0, np.int32)},
+            }
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+        want_ema = state_sd.get("ema_params") is not None
+        # first shape matches the caller (the common same-config resume);
+        # then the other generation's None-entry/dict; then pre-round-4
+        order = (
+            [state_sd["ema_params"], None, "drop"]
+            if want_ema
+            else [None, state_sd["params"], "drop"]
+        )
+        payload = disk_ema = None
+        for ema_value in order:
+            try:
+                payload = _attempt(ema_value)
+                disk_ema = ema_value
+                break
+            except ValueError:
+                continue
+        if payload is None:  # genuinely incompatible (e.g. model shape)
+            payload = _attempt(order[0])  # re-raise the primary error
+        if want_ema and (disk_ema is None or disk_ema == "drop"):
+            log.info("checkpoint predates EMA; warm-starting ema_params from params")
+            payload["state"]["ema_params"] = payload["state"]["params"]
+        elif not want_ema and isinstance(disk_ema, dict):
+            # disk carries a trained EMA the caller did not ask for (e.g.
+            # eval tools with default config): adopt it so ``eval_params``
+            # automatically serves the EMA weights
+            log.info("checkpoint carries EMA params; restoring them for eval")
+            state_template = state_template.replace(
+                ema_params=state_template.params
+            )
+        elif disk_ema == "drop":
+            payload["state"]["ema_params"] = None
         state = serialization.from_state_dict(state_template, payload["state"])
         epoch = int(payload["meta"]["epoch"])
         log.info("restored checkpoint step=%d epoch=%d from %s", step, epoch, self._dir)

@@ -40,6 +40,16 @@ class TrainState(struct.PyTreeNode):
     params: core.FrozenDict
     batch_stats: core.FrozenDict
     opt_state: optax.OptState
+    # EMA copy of ``params`` (training.ema_decay > 0), else None — None has
+    # no pytree leaves, so disabled runs keep the exact round-1..4
+    # checkpoint layout (CheckpointManager fills the field on old files).
+    ema_params: core.FrozenDict | None = None
+
+    @property
+    def eval_params(self):
+        """Parameters to use for validation/inference: the EMA copy when
+        one is maintained, else the live parameters."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def make_optimizer(cfg: Config):
@@ -86,6 +96,10 @@ def create_train_state(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", core.FrozenDict()),
         opt_state=optimizer.init(variables["params"]),
+        ema_params=(
+            jax.tree.map(jnp.copy, variables["params"])
+            if cfg.training.ema_decay > 0.0 else None
+        ),
     )
 
 
@@ -232,11 +246,22 @@ def make_train_step(
         )
         metrics["skipped"] = (~ok).astype(jnp.float32)
 
+        if state.ema_params is not None:
+            # EMA trails the POST-update params; under the skip guard the
+            # whole ema update is reverted along with everything else
+            d = cfg.training.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
+            )
+            new_ema = keep(new_ema, state.ema_params)
+        else:
+            new_ema = None
         new_state = state.replace(
             step=state.step + 1,
             params=keep(new_params, state.params),
             batch_stats=keep(new_stats, state.batch_stats),
             opt_state=keep(new_opt_state, state.opt_state),
+            ema_params=new_ema,
         )
         if return_mixed_inputs:
             return new_state, metrics, mixed
@@ -250,7 +275,7 @@ def make_eval_step(model: TransformerTTS, cfg: Config, with_outputs: bool = Fals
 
     def eval_fn(state: TrainState, batch: dict):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.eval_params, "batch_stats": state.batch_stats},
             batch["phoneme"], batch["melspec"],
             batch["phoneme_lens"], batch["melspec_lens"],
             train=False, return_alignments=True,

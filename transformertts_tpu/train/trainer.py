@@ -322,7 +322,7 @@ class Trainer:
             lens[i] = len(seq)
         out = jax.device_get(
             self.decode(
-                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                {"params": self.state.eval_params, "batch_stats": self.state.batch_stats},
                 phoneme, lens,
             )
         )
