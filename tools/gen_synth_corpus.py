@@ -328,6 +328,11 @@ def write_wav(path: pathlib.Path, sig: np.ndarray) -> None:
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--v2"]
     diverse_train = "--v2" in sys.argv[1:]
+    # Reject flag-like positional paths: a misparsed invocation once wrote a
+    # 111 MB corpus into a directory literally named "--help".
+    if argv and argv[0].startswith("-"):
+        sys.exit(f"gen_synth_corpus: output dir {argv[0]!r} looks like a flag; "
+                 "usage: gen_synth_corpus.py OUT_DIR [N_CLIPS] [SEED] [--v2]")
     out = pathlib.Path(argv[0]) if len(argv) > 0 else pathlib.Path("synth_corpus")
     n_clips = int(argv[1]) if len(argv) > 1 else 512
     seed = int(argv[2]) if len(argv) > 2 else 0
