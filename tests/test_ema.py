@@ -171,6 +171,51 @@ def test_checkpoint_pre_ema_format():
     np.testing.assert_array_equal(np.asarray(r.ema_params["w"]), np.ones(3))
 
 
+def test_disk_ema_kind_metadata():
+    """_disk_ema_kind reads the generation straight from orbax _METADATA."""
+    d1 = tempfile.mkdtemp()
+    m = CheckpointManager(d1)
+    m.save(1, _mini_state(False), epoch=1)
+    assert m._disk_ema_kind(1) == "none"
+    m.close()
+
+    d2 = tempfile.mkdtemp()
+    m = CheckpointManager(d2)
+    m.save(1, _mini_state(True), epoch=1)
+    assert m._disk_ema_kind(1) == "dict"
+    m.close()
+
+    assert m._disk_ema_kind(999) is None  # no such step on disk
+
+
+def test_restore_adopt_ema_false_drops_disk_ema():
+    """EMA-off resumed training keeps the EMA-off checkpoint layout."""
+    d = tempfile.mkdtemp()
+    m = CheckpointManager(d)
+    m.save(1, _mini_state(True), epoch=3)
+    m.close()
+    m = CheckpointManager(d)
+    try:
+        r, ep = m.restore(_mini_state(False), adopt_ema=False)
+    finally:
+        m.close()
+    assert r.ema_params is None and ep == 3
+    np.testing.assert_array_equal(np.asarray(r.eval_params["w"]), np.ones(3))
+
+
+def test_restore_warm_start_is_a_copy():
+    """Warm-started ema_params must not alias params (independent buffers)."""
+    d = tempfile.mkdtemp()
+    m = CheckpointManager(d)
+    m.save(1, _mini_state(False), epoch=1)
+    m.close()
+    r, _ = _fresh_restore(d, _mini_state(True))
+    p = np.asarray(r.params["w"])
+    e = np.asarray(r.ema_params["w"])
+    np.testing.assert_array_equal(p, e)
+    assert not np.shares_memory(p, e)
+
+
 def test_ema_decay_validated():
     cfg = tiny_config()
     with pytest.raises(ValueError):

@@ -104,7 +104,10 @@ class Trainer:
         self.ckpt = CheckpointManager(self.exp_dir / "checkpoints")
         self.start_epoch = 0
         if resume:
-            restored, epoch = self.ckpt.restore(state)
+            # adopt_ema=False: resumed EMA-off training must not adopt a
+            # disk EMA into its state (it would decay to the live params in
+            # one step and permanently change the checkpoint layout)
+            restored, epoch = self.ckpt.restore(state, adopt_ema=False)
             if restored is not None:
                 state, self.start_epoch = restored, epoch
         self.state = shard_state(state, self.mesh)
