@@ -136,10 +136,10 @@ def test_infer_prenet_dropout_runs_and_differs(setup):
 
 def test_decode_attn_window_runs(setup):
     """runtime.decode_attn_window > 0: monotone windowed decode runs on the
-    XLA loop, produces valid shapes, and forcing the megakernel errors."""
+    XLA loop, produces valid shapes, and the forced (batched, interpret)
+    megakernel matches it — the window is supported on the kernel fast
+    path since round 5 (flagship.yaml's operating point)."""
     import dataclasses
-
-    import pytest as _pytest
 
     model, variables, phoneme, lens = setup
     cfg_w = CFG.replace(
@@ -148,9 +148,30 @@ def test_decode_attn_window_runs(setup):
                          use_megakernel=False)(variables, phoneme, lens)
     assert out["pred_melspec"].shape == (B, 8, CFG.model.n_mels)
     assert np.isfinite(np.asarray(out["pred_melspec"])).all()
-    with _pytest.raises(ValueError):
-        make_decode_fn(model, cfg_w, max_len=8, use_megakernel=True)(
-            variables, phoneme, lens)
+    mega = make_decode_fn(model, cfg_w, max_len=8, stop_threshold=2.0,
+                          use_megakernel=True)(variables, phoneme, lens)
+    np.testing.assert_allclose(
+        np.asarray(mega["pred_melspec"]), np.asarray(out["pred_melspec"]),
+        atol=5e-2)
+    assert int(mega["n_frames"]) == int(out["n_frames"])
+
+
+def test_decode_attn_window_megakernel_batch1(setup):
+    """Batch-1 windowed megakernel (interpret) == batch-1 XLA windowed loop."""
+    import dataclasses
+
+    model, variables, phoneme, lens = setup
+    cfg_w = CFG.replace(
+        runtime=dataclasses.replace(CFG.runtime, decode_attn_window=2))
+    ph1, l1 = phoneme[:1], lens[:1]
+    ref = make_decode_fn(model, cfg_w, max_len=8, stop_threshold=2.0,
+                         use_megakernel=False)(variables, ph1, l1)
+    mega = make_decode_fn(model, cfg_w, max_len=8, stop_threshold=2.0,
+                          use_megakernel=True)(variables, ph1, l1)
+    np.testing.assert_allclose(
+        np.asarray(mega["pred_melspec"]), np.asarray(ref["pred_melspec"]),
+        atol=5e-2)
+    assert int(mega["n_frames"]) == int(ref["n_frames"])
 
 
 def _spec_cfg(k, tau, r=1):

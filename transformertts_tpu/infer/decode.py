@@ -137,14 +137,13 @@ def make_decode_fn(
                 cfg.runtime.use_pallas_decode_step
                 and on_tpu
                 and pdrop == 0.0  # live-dropout prenet is XLA-loop only
-                and attn_win == 0  # windowed decode is XLA-loop only
                 and b <= cfg.runtime.decode_megakernel_max_batch
                 and decode_step_fits(cfg, n_pos, phoneme.shape[1], batch=b)
             )
-        if mega and (pdrop > 0.0 or attn_win > 0):
+        if mega and pdrop > 0.0:
             raise ValueError(
-                "runtime.infer_prenet_dropout / decode_attn_window require "
-                "the XLA decode loop (use_megakernel must not be forced True)"
+                "runtime.infer_prenet_dropout requires the XLA decode loop "
+                "(use_megakernel must not be forced True)"
             )
         spec_k = int(cfg.runtime.decode_speculative_k)
         if spec_k > 1:
@@ -181,11 +180,13 @@ def make_decode_fn(
             return _megakernel_decode_batched(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,
                 n_pos, max_len, stop_threshold, interpret=not on_tpu,
+                attn_win=attn_win,
             )
         if mega:
             return _megakernel_decode(
                 model, cfg, variables, bound, memory, cross_kv, cross_bias,
                 n_pos, max_len, stop_threshold, interpret=not on_tpu,
+                attn_win=attn_win,
             )
         init = {
             "t": jnp.zeros((), jnp.int32),  # decoder position (group) counter
@@ -474,22 +475,37 @@ def _mega_context(cfg, variables, memory, cross_kv, cross_bias):
     return packed, pe_table, ck, cv, cbias
 
 
-def _mega_step(s, ctx, r, n_mels, interpret):
+def _mega_step(s, ctx, r, n_mels, interpret, attn_win=0):
     """One megakernel decode step over state dict ``s`` (t/frames/stops/
-    stopped/self_k/self_v); returns the updated state."""
+    stopped/self_k/self_v, + center when ``attn_win`` > 0); returns the
+    updated state.  With ``attn_win``, the monotone window bias is folded
+    into the cross bias per step and the kernel reports the last layer's
+    expected attention position for the center update — same semantics as
+    the XLA windowed loop above."""
     from transformertts_tpu.ops.pallas.decode_step import decode_step
 
     packed, pe_table, ck, cv, cbias = ctx
     t = s["t"]
     frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
     pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
-    y, k_new, v_new = decode_step(
-        t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
-        packed, interpret=interpret,
-    )
+    if attn_win > 0:
+        pos = jax.lax.broadcasted_iota(jnp.float32, (1, cbias.shape[1]), 1)
+        c = s["center"].reshape(1, 1)
+        cb_t = cbias + jnp.where(
+            (pos >= c - attn_win) & (pos <= c + attn_win), 0.0, NEG_INF
+        )
+        y, k_new, v_new, exp_pos = decode_step(
+            t, frame, pe_row, cb_t, s["self_k"], s["self_v"], ck, cv,
+            packed, interpret=interpret, with_attn_pos=True,
+        )
+    else:
+        y, k_new, v_new = decode_step(
+            t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
+            packed, interpret=interpret,
+        )
     mel_t = y[:, : n_mels * r].reshape(1, r, n_mels)
     stop_t = y[:, n_mels * r :]
-    return {
+    new_s = {
         **s,
         "t": t + 1,
         "frames": jax.lax.dynamic_update_slice(
@@ -497,17 +513,22 @@ def _mega_step(s, ctx, r, n_mels, interpret):
         ),
         "self_k": jax.lax.dynamic_update_slice(s["self_k"], k_new, (0, 0, t, 0)),
         "self_v": jax.lax.dynamic_update_slice(s["self_v"], v_new, (0, 0, t, 0)),
-    }, stop_t
+    }
+    if attn_win > 0:
+        new_s["center"] = jnp.maximum(s["center"], exp_pos.reshape(1))
+    return new_s, stop_t
 
 
 def _megakernel_decode(
     model, cfg, variables, bound, memory, cross_kv, cross_bias,
-    n_pos, max_len, stop_threshold, interpret,
+    n_pos, max_len, stop_threshold, interpret, attn_win=0,
 ):
     """Batch-1 decode where each step is ONE Pallas program
     (ops/pallas/decode_step.py).  Per-step XLA work shrinks to the kernel
     plus a handful of slice/update ops (PE row, frame fetch, cache writes,
-    stop check)."""
+    stop check).  ``attn_win`` > 0 adds the windowed-monotonic
+    cross-attention of the XLA loop (the flagship.yaml operating point)
+    without leaving the kernel fast path."""
     n_mels = cfg.model.n_mels
     r = cfg.model.reduction_factor
     n_layers = cfg.model.decoder_n_layers
@@ -525,13 +546,15 @@ def _megakernel_decode(
         "self_k": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
         "self_v": jnp.zeros((n_layers, n_heads, n_pos, d_head), dtype),
     }
+    if attn_win > 0:
+        init["center"] = jnp.zeros((1,), jnp.float32)
 
     def cond(s):
         return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
 
     def body(s):
         t = s["t"]
-        s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret)
+        s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret, attn_win)
         s2["stops"] = jax.lax.dynamic_update_slice(s["stops"], stop_t, (0, t * r))
         s2["stopped"] = s["stopped"] | jnp.any(
             jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
@@ -553,13 +576,13 @@ def _megakernel_decode(
 
 def _megakernel_decode_batched(
     model, cfg, variables, bound, memory, cross_kv, cross_bias,
-    n_pos, max_len, stop_threshold, interpret,
+    n_pos, max_len, stop_threshold, interpret, attn_win=0,
 ):
     """Batched (B > 1) megakernel decode — forced-only until benchmarked.
 
     Caches live in the kernel's (L, H, B, T, dh) layout; semantics match
     the XLA loop (global all-rows stop vote, per-row lengths recovered
-    after)."""
+    after; per-row monotone window when ``attn_win`` > 0)."""
     from transformertts_tpu.models.modules import sinusoid_table
     from transformertts_tpu.ops.pallas.decode_step import (
         decode_step_batched,
@@ -585,6 +608,14 @@ def _megakernel_decode_batched(
     cv = jnp.stack([kv[1] for kv in cross_kv]).transpose(0, 3, 1, 2, 4)
     # (B, Tp) -> block-diagonal (B, B*Tp); loop-invariant, built once here
     cbias = expand_cross_bias(cross_bias[:, 0, 0, :].astype(jnp.float32))
+    tp = ck.shape[3]
+    if attn_win > 0:
+        # per-row column index WITHIN the row's block, for the per-step
+        # window bias; off-block columns are already NEG_INF in cbias so
+        # any window leak across blocks stays masked
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (b, b * tp), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (b, b * tp), 1)
+        colpos = (col_i - row_i * tp).astype(jnp.float32)
 
     init = {
         "t": jnp.zeros((), jnp.int32),
@@ -594,6 +625,8 @@ def _megakernel_decode_batched(
         "self_k": jnp.zeros((n_layers, n_heads, b, n_pos, d_head), dtype),
         "self_v": jnp.zeros((n_layers, n_heads, b, n_pos, d_head), dtype),
     }
+    if attn_win > 0:
+        init["center"] = jnp.zeros((b,), jnp.float32)
 
     def cond(s):
         return (s["t"] < n_pos) & ~jnp.all(s["stopped"])
@@ -602,13 +635,24 @@ def _megakernel_decode_batched(
         t = s["t"]
         frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)[:, 0]
         pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
-        y, k_new, v_new = decode_step_batched(
-            t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
-            packed, interpret=interpret,
-        )
+        if attn_win > 0:
+            c = s["center"][:, None]
+            cb_t = cbias + jnp.where(
+                (colpos >= c - attn_win) & (colpos <= c + attn_win),
+                0.0, NEG_INF,
+            )
+            y, k_new, v_new, exp_pos = decode_step_batched(
+                t, frame, pe_row, cb_t, s["self_k"], s["self_v"], ck, cv,
+                packed, interpret=interpret, with_attn_pos=True,
+            )
+        else:
+            y, k_new, v_new = decode_step_batched(
+                t, frame, pe_row, cbias, s["self_k"], s["self_v"], ck, cv,
+                packed, interpret=interpret,
+            )
         mel_t = y[:, : n_mels * r].reshape(b, r, n_mels)
         stop_t = y[:, n_mels * r :]
-        return {
+        new_s = {
             "t": t + 1,
             "frames": jax.lax.dynamic_update_slice(
                 s["frames"], mel_t, (0, t * r + 1, 0)
@@ -624,6 +668,9 @@ def _megakernel_decode_batched(
                 s["self_v"], v_new[:, :, :, None, :], (0, 0, 0, t, 0)
             ),
         }
+        if attn_win > 0:
+            new_s["center"] = jnp.maximum(s["center"], exp_pos[:, 0])
+        return new_s
 
     final = jax.lax.while_loop(cond, body, init)
     n_frames = final["t"] * r

@@ -160,12 +160,20 @@ def _kernel(
     cWq, cbq, cWo, cbo,
     W1, B1, W2, B2, ln_g, ln_b,
     head_w, head_b,
-    # outputs
-    y_ref, knew_ref, vnew_ref,
-    *, n_layers, n_heads, scale, dtype,
+    # outputs (pos_ref only when with_attn_pos)
+    y_ref, knew_ref, vnew_ref, *maybe_pos_ref,
+    n_layers, n_heads, scale, dtype, with_attn_pos=False,
 ):
     t = t_ref[0]
     n_pos = kc_ref.shape[2]
+    if with_attn_pos:
+        # expected encoder position of the LAST layer's cross-attention,
+        # head-averaged — drives the caller's monotone window center
+        # (infer/decode.py windowed decode)
+        pos_ref = maybe_pos_ref[0]
+        tp = ck_ref.shape[2]
+        col_f = jax.lax.broadcasted_iota(jnp.float32, (1, tp), 1)
+        pos_acc = jnp.zeros((1, 1), jnp.float32)
 
     # decoder prenet (dropout off at inference — ref model/model.py:342)
     x = frame_ref[...].astype(dtype)
@@ -217,10 +225,13 @@ def _kernel(
             s = s + cross_bias_ref[...].astype(jnp.float32)  # (1, Tp)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            ctx = _dot(e.astype(dtype), cv_ref[li, h]) / jnp.sum(
-                e, axis=1, keepdims=True
-            )
+            denom_c = jnp.sum(e, axis=1, keepdims=True)
+            ctx = _dot(e.astype(dtype), cv_ref[li, h]) / denom_c
             o = o + _dot(ctx.astype(dtype), cWo[li, h])
+            if with_attn_pos and li == n_layers - 1:
+                pos_acc = pos_acc + jnp.sum(
+                    (e / denom_c) * col_f, axis=1, keepdims=True
+                )
         o = o + cbo[li][...].astype(jnp.float32)
         x32 = _layer_norm(resid + o, ln_g[li, 1], ln_b[li, 1])
         x = x32.astype(dtype)
@@ -233,6 +244,8 @@ def _kernel(
 
     y = _dot(x, head_w[...]) + head_b[...].astype(jnp.float32)
     y_ref[...] = y.astype(y_ref.dtype)
+    if with_attn_pos:
+        pos_ref[...] = pos_acc / n_heads
 
 
 def decode_step(
@@ -246,9 +259,12 @@ def decode_step(
     cross_v: jnp.ndarray,
     packed: dict,  # pack_decode_weights output
     interpret: bool = False,
+    with_attn_pos: bool = False,
 ):
     """One full decoder step; returns (y (1, n_mels*r + r) fp32 logits/frame,
-    k_new (L, H, dh), v_new (L, H, dh))."""
+    k_new (L, H, dh), v_new (L, H, dh)) — plus, when ``with_attn_pos``,
+    the last layer's head-averaged expected cross-attention position
+    (1, 1) fp32 for the windowed-monotonic decode's center update."""
     L, H, n_pos, dh = self_k.shape
     d_out = packed["head_w"].shape[1]
     dtype = packed["pw1"].dtype
@@ -257,33 +273,39 @@ def decode_step(
     whole = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0,) * a.ndim)  # noqa: E731
     data = [frame, pe_row, cross_bias, self_k, self_v, cross_k, cross_v]
     weights = [packed[k] for k in _PACK_ORDER]
+    out_specs = [
+        pl.BlockSpec((1, d_out), lambda i, *_: (0, 0)),
+        pl.BlockSpec((L, H, 1, dh), lambda i, *_: (0, 0, 0, 0)),
+        pl.BlockSpec((L, H, 1, dh), lambda i, *_: (0, 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+        jax.ShapeDtypeStruct((L, H, 1, dh), self_k.dtype),
+        jax.ShapeDtypeStruct((L, H, 1, dh), self_v.dtype),
+    ]
+    if with_attn_pos:
+        out_specs.append(pl.BlockSpec((1, 1), lambda i, *_: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[whole(a) for a in data + weights],
-        out_specs=[
-            pl.BlockSpec((1, d_out), lambda i, *_: (0, 0)),
-            pl.BlockSpec((L, H, 1, dh), lambda i, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((L, H, 1, dh), lambda i, *_: (0, 0, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    y, k_new, v_new = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
-            _kernel, n_layers=L, n_heads=H, scale=scale, dtype=dtype
+            _kernel, n_layers=L, n_heads=H, scale=scale, dtype=dtype,
+            with_attn_pos=with_attn_pos,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, d_out), jnp.float32),
-            jax.ShapeDtypeStruct((L, H, 1, dh), self_k.dtype),
-            jax.ShapeDtypeStruct((L, H, 1, dh), self_v.dtype),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(t.reshape(1), frame, pe_row, cross_bias, self_k, self_v, cross_k,
       cross_v, *weights)
-    return y, k_new, v_new
+    return tuple(out)
 
 
 def decode_step_fits(cfg, n_pos: int, tp: int, batch: int = 1) -> bool:
@@ -344,8 +366,8 @@ def _kernel_batched(
     cWq, cbq, cWo, cbo,
     W1, B1, W2, B2, ln_g, ln_b,
     head_w, head_b,
-    y_ref, knew_ref, vnew_ref,
-    *, n_layers, n_heads, n_pos, scale, dtype,
+    y_ref, knew_ref, vnew_ref, *maybe_pos_ref,
+    n_layers, n_heads, n_pos, scale, dtype, with_attn_pos=False,
 ):
     """Batched (B, ...) variant, restructured after the first lowering
     (leading-batch-dim dot_generals) produced a 5.2 MB MLIR module that
@@ -363,6 +385,18 @@ def _kernel_batched(
     t = t_ref[0]
     b = frame_ref.shape[0]
     bn = kc_ref.shape[2]  # B * n_pos (flattened)
+    if with_attn_pos:
+        # per-row expected cross-attn position of the LAST layer (head
+        # mean).  Column index is measured WITHIN the row's cache block;
+        # off-block probabilities are ~0 (block-diagonal bias) so they
+        # contribute nothing to the expectation.
+        pos_ref = maybe_pos_ref[0]
+        bt = ck_ref.shape[2]  # B * Tp
+        tp_c = bt // b
+        row_c = jax.lax.broadcasted_iota(jnp.int32, (b, bt), 0)
+        col_c = jax.lax.broadcasted_iota(jnp.int32, (b, bt), 1)
+        colpos_f = (col_c - row_c * tp_c).astype(jnp.float32)
+        pos_acc = jnp.zeros((b, 1), jnp.float32)
 
     x = frame_ref[...].astype(dtype)
     x = jnp.maximum(_dot(x, pw1[...]) + pb1[...].astype(jnp.float32), 0.0)
@@ -416,10 +450,13 @@ def _kernel_batched(
             s = s + cross_bias_ref[...].astype(jnp.float32)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            ctx = _dot(e.astype(dtype), cv_ref[li, h]) / jnp.sum(
-                e, axis=1, keepdims=True
-            )
+            denom_c = jnp.sum(e, axis=1, keepdims=True)
+            ctx = _dot(e.astype(dtype), cv_ref[li, h]) / denom_c
             o = o + _dot(ctx.astype(dtype), cWo[li, h])
+            if with_attn_pos and li == n_layers - 1:
+                pos_acc = pos_acc + jnp.sum(
+                    (e / denom_c) * colpos_f, axis=1, keepdims=True
+                )
         o = o + cbo[li][...].astype(jnp.float32)
         x32 = _layer_norm(resid + o, ln_g[li, 1], ln_b[li, 1])
         x = x32.astype(dtype)
@@ -432,6 +469,8 @@ def _kernel_batched(
 
     y = _dot(x, head_w[...]) + head_b[...].astype(jnp.float32)
     y_ref[...] = y.astype(y_ref.dtype)
+    if with_attn_pos:
+        pos_ref[...] = pos_acc / n_heads
 
 
 def decode_step_batched(
@@ -445,11 +484,14 @@ def decode_step_batched(
     cross_v: jnp.ndarray,
     packed: dict,
     interpret: bool = False,
+    with_attn_pos: bool = False,
 ):
     """Batched decode step; returns (y (B, n_mels*r + r), k_new/v_new
-    (L, H, B, dh)).  Caches keep the (L, H, B, T, dh) HBM layout the
-    caller scatters into; they are view-reshaped to (L, H, B*T, dh) here
-    so the kernel runs pure 2-D matmuls (see _kernel_batched)."""
+    (L, H, B, dh)) — plus, when ``with_attn_pos``, the per-row expected
+    cross-attention position (B, 1) fp32 of the last layer.  Caches keep
+    the (L, H, B, T, dh) HBM layout the caller scatters into; they are
+    view-reshaped to (L, H, B*T, dh) here so the kernel runs pure 2-D
+    matmuls (see _kernel_batched)."""
     L, H, b, n_pos, dh = self_k.shape
     tp = cross_k.shape[3]
     d_out = packed["head_w"].shape[1]
@@ -463,29 +505,36 @@ def decode_step_batched(
         flat(self_k), flat(self_v), flat(cross_k), flat(cross_v),
     ]
     weights = [packed[k] for k in _PACK_ORDER]
+    out_specs = [
+        pl.BlockSpec((b, d_out), lambda i, *_: (0, 0)),
+        pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
+        pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d_out), jnp.float32),
+        jax.ShapeDtypeStruct((L, H, b, dh), self_k.dtype),
+        jax.ShapeDtypeStruct((L, H, b, dh), self_v.dtype),
+    ]
+    if with_attn_pos:
+        out_specs.append(pl.BlockSpec((b, 1), lambda i, *_: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[whole(a) for a in data + weights],
-        out_specs=[
-            pl.BlockSpec((b, d_out), lambda i, *_: (0, 0)),
-            pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((L, H, b, dh), lambda i, *_: (0, 0, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _kernel_batched,
             n_layers=L, n_heads=H, n_pos=n_pos, scale=scale, dtype=dtype,
+            with_attn_pos=with_attn_pos,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d_out), jnp.float32),
-            jax.ShapeDtypeStruct((L, H, b, dh), self_k.dtype),
-            jax.ShapeDtypeStruct((L, H, b, dh), self_v.dtype),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(t.reshape(1), *data, *weights)
+    return tuple(out)
