@@ -39,10 +39,13 @@ restore_exp flagship_stack /tmp/conv_r4_4kv2
 restore_exp d1024_short    /tmp/conv_r4_1k
 restore_exp stopgate_ema   /tmp/conv_r4_1k
 
-# 4. relaunch (queue13 gates on the queue12 log line, so keep the log path)
+# 4. relaunch (queue13 gates on the queue12 log line, so keep the log path;
+# the round-5 queue gates on queue13 via repo-side mirrored logs)
 nohup bash tools/run_r4_queue12.sh > /tmp/r4_queue12.log 2>&1 &
 echo "queue12 pid $!"
 nohup bash tools/run_r4_queue13.sh > /tmp/r4_queue13.log 2>&1 &
 echo "queue13 pid $!"
+nohup bash tools/run_r5_queue.sh > /tmp/r5_queue.log 2>&1 &
+echo "queue-r5 pid $!"
 nohup bash tools/queue_watchdog.sh 300 > /tmp/r5_watchdog.log 2>&1 &
 echo "watchdog pid $!"
