@@ -51,6 +51,22 @@ until gate "\[queue13\] all jobs processed"; do
 done
 
 V2=/tmp/conv_r4_4kv2
+K1=/tmp/conv_r4_1k
+
+# --- 0. d1024 completion: the queue12 stage ran under a 4800 s timeout
+# that its ~4.5 min/epoch pace may exceed; the CLI resumes from the last
+# checkpoint, so this just finishes any remaining epochs + repackages ---
+run d1024_finish timeout 3600 python -m transformertts_tpu.cli train \
+  --config configs/large_tp.yaml \
+  --set runtime.mesh_model=1 \
+  --set path.data=$K1/LJSpeech-1.1 --set path.preprocessed=$K1/prep \
+  --set path.experiment=$K1/exp \
+  --set training.num_epochs=20 --set training.warmup_steps=300 \
+  --set training.log_interval=8 \
+  --set loss.guided_attn_weight=10.0 \
+  --exp-dir $K1/exp/d1024_short
+run d1024_repackage bash tools/package_convergence.sh \
+  $K1/exp/d1024_short artifacts/d1024_short
 
 # --- 1. W-sweep on the 200-epoch stacked checkpoint (CPU) ---
 for W in 0 2 3 4; do
