@@ -52,3 +52,18 @@ def test_synthesizer_warmup(trained):  # noqa: F811
     assert n == 2
     mel = synth.synthesize("Hello world.", max_len=12)[0]
     assert mel.shape[0] == 80 and np.isfinite(mel).all()
+
+
+def test_synthesizer_windowed(trained):  # noqa: F811
+    """Synthesizer at the flagship operating point (decode_attn_window=2,
+    configs/flagship.yaml): windowed decode through the high-level API."""
+    import dataclasses
+
+    cfg, exp, _, _ = trained
+    cfg_w = cfg.replace(
+        runtime=dataclasses.replace(cfg.runtime, decode_attn_window=2))
+    synth = Synthesizer(cfg_w, exp / "run1" / "checkpoints")
+    mels = synth.synthesize(["Hello world.", "Another one."], max_len=12)
+    assert len(mels) == 2
+    for mel in mels:
+        assert mel.shape[0] == 80 and np.isfinite(mel).all()
