@@ -2,11 +2,14 @@
 
 Reads a free-running eval JSON written by ``tools/eval_free_running.py
 --tf`` (16 val items with both teacher-forced and free-running metrics)
-and reports the easy/hard split the round-3/4 analyses tracked: items
-sorted by teacher-forced MCD, halved, with the free-DTW/TF-MCD
-amplification factor per half.  The round-4 baseline on
-``artifacts/flagship_4k/free_eval_16_tf.json``: easy half 1.39x, hard
-half 2.63x — the number the stacked/extended runs are probing.
+and reports the easy/hard split the round-3/4 analyses tracked: val
+items 0-9 are the diverse-register ("hard") half and 10-15 the
+template-grammar ("easy") half of the proxy corpus (see
+tools/gen_synth_corpus.py); for evals with a different item count the
+tool falls back to sorting by teacher-forced MCD and halving.  The
+round-4 baseline on ``artifacts/flagship_4k/free_eval_16_tf.json``:
+easy half 1.39x, hard half ~2.6x — the number the stacked/extended
+runs are probing.
 
 Run:  python tools/hard_item_report.py EVAL_JSON [EVAL_JSON ...]
 """
@@ -23,9 +26,15 @@ def report(path: str) -> dict:
     # split by corpus identity, matching the round-3/4 analyses: val items
     # 0-9 carry the diverse register (the "hard half"), 10-15 the template
     # grammar ("easy") — see PARITY.md's footnote and the v1/v2 corpus
-    # design in tools/gen_synth_corpus.py
-    hard_sel = [i for i in range(len(items)) if i < 10]
-    easy_sel = [i for i in range(len(items)) if i >= 10]
+    # design in tools/gen_synth_corpus.py.  Non-16-item evals don't have
+    # that layout: fall back to TF-sorted halves.
+    if len(items) == 16:
+        hard_sel = list(range(10))
+        easy_sel = list(range(10, 16))
+    else:
+        order = sorted(range(len(items)), key=lambda i: items[i]["tf_mcd"])
+        half = max(len(items) // 2, 1)
+        easy_sel, hard_sel = order[:half], order[half:] or order[:1]
     out = {"path": path, "n": len(items),
            "free_mcd_dtw": d.get("free_mcd_dtw"),
            "free_len_ratio": d.get("free_len_ratio")}
@@ -55,9 +64,15 @@ def report(path: str) -> dict:
 
 
 def main():
-    results = [report(p) for p in sys.argv[1:] if not p.startswith("-")]
-    if "--out" in sys.argv:
-        with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    results = [report(p) for p in args if not p.startswith("-")]
+    if out_path:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
 

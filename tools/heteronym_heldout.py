@@ -2,7 +2,7 @@
 
 The development set in tools/heteronym_eval.py was used to BUILD the
 round-4 sentence-context rules, then re-scored on itself — its 100% is a
-development number.  This file is the held-out protocol: ~70 fresh
+development number.  This file is the held-out protocol: 93 fresh
 sentences authored in round 5 *blind to the cue lists* in
 text/heteronyms.py (different templates: passives, questions,
 predicate-adjective positions, sentence-final verbs, possessives, and

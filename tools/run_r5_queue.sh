@@ -65,12 +65,12 @@ run d1024_finish timeout 3600 python -m transformertts_tpu.cli train \
   --set training.log_interval=8 \
   --set loss.guided_attn_weight=10.0 \
   --exp-dir $K1/exp/d1024_short
-run d1024_repackage bash tools/package_convergence.sh \
+run d1024_repackage timeout 600 bash tools/package_convergence.sh \
   $K1/exp/d1024_short artifacts/d1024_short
 
 # --- 1. W-sweep on the 200-epoch stacked checkpoint (CPU) ---
 for W in 0 2 3 4; do
-  run wsweep200_w$W env JAX_PLATFORMS=cpu python tools/eval_free_running.py \
+  run wsweep200_w$W timeout 1800 env JAX_PLATFORMS=cpu python tools/eval_free_running.py \
     $V2/prep $V2/exp/flagship_stack/checkpoints \
     --set runtime.decode_attn_window=$W \
     --tf --out artifacts/flagship_stack/free_eval_200ep_w$W.json
