@@ -122,3 +122,24 @@ def test_stream_megakernel_batch_guard():
                                  use_megakernel=True)
     with pytest.raises(ValueError, match="batch 1"):
         init(variables, phoneme, lens)
+
+
+def test_stream_windowed_matches_oneshot(setup):
+    """decode_attn_window > 0: the window center rides in the stream carry,
+    so chunked decode == one-shot windowed decode exactly."""
+    import dataclasses
+
+    model, variables, phoneme, lens = setup
+    cfg_w = CFG.replace(
+        runtime=dataclasses.replace(CFG.runtime, decode_attn_window=2))
+    oneshot = make_decode_fn(model, cfg_w, max_len=MAX_LEN, stop_threshold=2.0,
+                             use_megakernel=False)
+    ref = jax.device_get(oneshot(variables, phoneme, lens))
+
+    chunks = list(stream_decode(model, cfg_w, variables, np.asarray(phoneme),
+                                np.asarray(lens), max_len=MAX_LEN, chunk=CHUNK,
+                                stop_threshold=2.0, use_megakernel=False))
+    pred_all = np.concatenate([p for p, _ in chunks], axis=1)
+    n = pred_all.shape[1]
+    np.testing.assert_allclose(
+        pred_all, np.asarray(ref["pred_melspec"])[:, :n], atol=1e-5)

@@ -75,6 +75,11 @@ def make_stream_fns(
     n_mels = cfg.model.n_mels
     overlap = postnet_overlap(cfg)
     r = cfg.model.reduction_factor
+    # windowed-monotonic cross-attention (runtime.decode_attn_window): the
+    # center is part of the carry, so chunking is transparent — streamed
+    # output equals the one-shot windowed decode (tests/test_streaming.py)
+    attn_win = int(cfg.runtime.decode_attn_window)
+    NEG_INF = -1e9
     if chunk % r:
         raise ValueError(f"chunk ({chunk}) must be a multiple of reduction_factor ({r})")
     n_pos = max_len // r  # decoder positions
@@ -107,6 +112,8 @@ def make_stream_fns(
             "frames": jnp.zeros((b, max_len + 1, n_mels), jnp.float32),  # [0]=go
             "stopped": jnp.zeros((b,), bool),
         }
+        if attn_win > 0:
+            base["center"] = jnp.zeros((b,), jnp.float32)
         if _mega(b, phoneme.shape[1]):
             from transformertts_tpu.infer.decode import _mega_context
 
@@ -142,7 +149,7 @@ def make_stream_fns(
         def body(s):
             ctx = (s["packed"], s["pe_table"], s["cross_k"], s["cross_v"],
                    s["cross_bias"])
-            s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret)
+            s2, stop_t = _mega_step(s, ctx, r, n_mels, interpret, attn_win)
             s2["stopped"] = s["stopped"] | jnp.any(
                 jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
             )
@@ -169,8 +176,21 @@ def make_stream_fns(
             t = s["t"]
             frame = jax.lax.dynamic_slice_in_dim(s["frames"], t * r, 1, axis=1)
             x = bound.prenet_step(frame, t)
+            tp = carry["cross_bias"].shape[-1]
+            if attn_win > 0:
+                # monotone window [center - W, center + W] on every layer's
+                # cross-attention — same semantics as infer/decode.py
+                pos = jnp.arange(tp, dtype=jnp.float32)[None, :]
+                c = s["center"][:, None]
+                win = jnp.where(
+                    (pos >= c - attn_win) & (pos <= c + attn_win), 0.0, NEG_INF
+                )
+                cb = carry["cross_bias"] + win[:, None, None, :]
+            else:
+                cb = carry["cross_bias"]
             self_bias = _self_bias_at(t, n_pos)
             self_k, self_v = s["self_k"], s["self_v"]
+            attn_w = None
             for li, layer in enumerate(bound.decoder.layers):
                 k_new, v_new = layer.project_self_kv(x)
                 self_k = jax.lax.dynamic_update_slice(
@@ -179,10 +199,17 @@ def make_stream_fns(
                 self_v = jax.lax.dynamic_update_slice(
                     self_v, v_new[None].astype(self_v.dtype), (li, 0, t, 0, 0)
                 )
-                x = layer.cached_step(
-                    x, self_k[li], self_v[li], carry["cross_k"][li],
-                    carry["cross_v"][li], self_bias, carry["cross_bias"],
-                )
+                last = li == len(bound.decoder.layers) - 1
+                if attn_win > 0 and last:
+                    x, attn_w = layer.cached_step_attn(
+                        x, self_k[li], self_v[li], carry["cross_k"][li],
+                        carry["cross_v"][li], self_bias, cb,
+                    )
+                else:
+                    x = layer.cached_step(
+                        x, self_k[li], self_v[li], carry["cross_k"][li],
+                        carry["cross_v"][li], self_bias, cb,
+                    )
             mel_t, stop_t = bound.decode_frame_heads(x)  # (B,r,C), (B,r)
             frames = jax.lax.dynamic_update_slice(
                 s["frames"], mel_t.astype(jnp.float32), (0, t * r + 1, 0)
@@ -190,8 +217,16 @@ def make_stream_fns(
             stopped = s["stopped"] | jnp.any(
                 jax.nn.sigmoid(stop_t) >= stop_threshold, axis=1
             )
-            return {**s, "t": t + 1, "frames": frames, "stopped": stopped,
-                    "self_k": self_k, "self_v": self_v}
+            new_s = {**s, "t": t + 1, "frames": frames, "stopped": stopped,
+                     "self_k": self_k, "self_v": self_v}
+            if attn_win > 0:
+                w = jnp.mean(attn_w.astype(jnp.float32), axis=1)[:, 0, :]
+                pos = jnp.arange(tp, dtype=jnp.float32)[None, :]
+                exp_pos = jnp.sum(w * pos, axis=1) / jnp.maximum(
+                    jnp.sum(w, axis=1), 1e-6
+                )
+                new_s["center"] = jnp.maximum(s["center"], exp_pos)
+            return new_s
 
         carry = jax.lax.while_loop(cond, body, carry)
         n_new = (carry["t"] - start_t) * r  # frames emitted this chunk
