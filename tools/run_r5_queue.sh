@@ -53,6 +53,16 @@ done
 V2=/tmp/conv_r4_4kv2
 K1=/tmp/conv_r4_1k
 
+# --- 2. on-chip windowed megakernel A/B (latency) ---
+run ab_window timeout 3600 python tools/ab_window_decode.py
+
+# --- 2b. on-chip windowed megakernel numerics on the stacked checkpoint
+# (quality parity of the W=2 kernel fast path vs the CPU sweep numbers) ---
+run ab_mega_w2 timeout 3600 python tools/ab_mega_numerics.py \
+  $V2/prep $V2/exp/flagship_stack/checkpoints \
+  --set runtime.decode_attn_window=2 \
+  --out ab_mega_numerics_w2.json
+
 # --- 0. d1024 completion: the queue12 stage ran under a 4800 s timeout
 # that its ~4.5 min/epoch pace may exceed; the CLI resumes from the last
 # checkpoint, so this just finishes any remaining epochs + repackages ---
@@ -75,16 +85,6 @@ for W in 0 2 3 4; do
     --set runtime.decode_attn_window=$W \
     --tf --out artifacts/flagship_stack/free_eval_200ep_w$W.json
 done
-
-# --- 2. on-chip windowed megakernel A/B (latency) ---
-run ab_window timeout 3600 python tools/ab_window_decode.py
-
-# --- 2b. on-chip windowed megakernel numerics on the stacked checkpoint
-# (quality parity of the W=2 kernel fast path vs the CPU sweep numbers) ---
-run ab_mega_w2 timeout 3600 python tools/ab_mega_numerics.py \
-  $V2/prep $V2/exp/flagship_stack/checkpoints \
-  --set runtime.decode_attn_window=2 \
-  --out ab_mega_numerics_w2.json
 
 # --- 3. serving bench at the flagship operating point ---
 run bench_serving_flagship timeout 2400 python tools/bench_serving.py \
