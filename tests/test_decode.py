@@ -279,3 +279,30 @@ def test_speculative_stop_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(spec["pred_melspec"]), np.asarray(base["pred_melspec"]),
         atol=1e-5)
+
+
+def test_decode_attn_window_megakernel_r2():
+    """Windowed megakernel at reduction_factor=2 (the fast_serve shape):
+    forced (interpret) kernel == XLA windowed loop."""
+    import dataclasses
+
+    cfg_w = CFG.replace(
+        model=dataclasses.replace(CFG.model, reduction_factor=2),
+        runtime=dataclasses.replace(CFG.runtime, decode_attn_window=2))
+    model2 = TransformerTTS(cfg_w.model)
+    rng = np.random.default_rng(3)
+    phoneme = jnp.asarray(rng.integers(1, 60, (B, TP)), jnp.int32)
+    lens = jnp.array([TP, TP - 3])
+    variables = model2.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        phoneme, jnp.zeros((B, 32, cfg_w.model.n_mels)), lens,
+        jnp.array([32, 32]), train=False,
+    )
+    ref = make_decode_fn(model2, cfg_w, max_len=8, stop_threshold=2.0,
+                         use_megakernel=False)(variables, phoneme, lens)
+    mega = make_decode_fn(model2, cfg_w, max_len=8, stop_threshold=2.0,
+                          use_megakernel=True)(variables, phoneme, lens)
+    np.testing.assert_allclose(
+        np.asarray(mega["pred_melspec"]), np.asarray(ref["pred_melspec"]),
+        atol=5e-2)
+    assert int(mega["n_frames"]) == int(ref["n_frames"])
