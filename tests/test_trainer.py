@@ -152,3 +152,20 @@ def test_anneal_start_recovery_from_history():
         [{"epoch": 1, "ga_w": 10.0, "ga_anneal_start": None}], loss_cfg
     ) is None
     assert Trainer._recover_anneal_start([{"epoch": 1}], loss_cfg) is None
+
+
+def test_best_checkpoint_retained(trained):
+    """training.keep_best_metric (default val_free_mcd_dtw): the single best
+    checkpoint survives under checkpoints_best/ even as the rolling latest-3
+    retention advances past it (motivated by the stacked-flagship 200-epoch
+    regression: the best free-running model was deleted by rolling-only
+    retention)."""
+    cfg, exp, _, result = trained
+    hist = json.loads((exp / "run1" / "history.json").read_text())
+    metric = cfg.training.keep_best_metric
+    assert metric == "val_free_mcd_dtw"
+    best_row = min((h for h in hist if metric in h), key=lambda h: h[metric])
+    mgr = CheckpointManager(exp / "run1" / "checkpoints_best")
+    assert mgr.latest_step() is not None
+    # fit() reports the retained best value, matching the history minimum
+    assert result["best_" + metric] == best_row[metric]

@@ -117,6 +117,15 @@ class TrainingConfig:
     # eval, and synthesis — a standard stabilizer for autoregressive
     # inference quality.  0.0 = off (reference semantics).
     ema_decay: float = 0.0
+    # Best-checkpoint retention (round 5; not in the reference, which keeps
+    # only Lightning's implicit last checkpoint).  Alongside the rolling
+    # latest-3 under checkpoints/, the trainer keeps the single best
+    # checkpoint by this LOWER-IS-BETTER history metric under
+    # checkpoints_best/.  Motivated by the measured stacked-flagship
+    # trajectory: free MCD-DTW peaked at epoch 100 (10.56) and regressed to
+    # 19.4 by epoch 200 — rolling retention alone deletes the best model.
+    # "" disables; "val_loss" tracks the early-stopping metric instead.
+    keep_best_metric: str = "val_free_mcd_dtw"
 
     def validate(self) -> None:
         if self.teacher_forcing_mode not in ("linear", "cosine", "constant"):

@@ -102,6 +102,11 @@ class Trainer:
             self.model, cfg, jax.random.PRNGKey(cfg.training.seed), example
         )
         self.ckpt = CheckpointManager(self.exp_dir / "checkpoints")
+        self.ckpt_best = (
+            CheckpointManager(self.exp_dir / "checkpoints_best", max_to_keep=1)
+            if cfg.training.keep_best_metric
+            else None
+        )
         self.start_epoch = 0
         if resume:
             # adopt_ema=False: resumed EMA-off training must not adopt a
@@ -370,6 +375,14 @@ class Trainer:
         cfg = self.cfg
         best_val, patience = float("inf"), 0
         history = list(self.prev_history)  # resumed runs keep earlier epochs
+        # best-checkpoint retention: resumed runs recover the incumbent best
+        # from history so the extension can't overwrite a better checkpoint
+        # with a worse one (training.keep_best_metric, lower is better)
+        best_metric_name = cfg.training.keep_best_metric
+        best_metric = min(
+            (h[best_metric_name] for h in history if best_metric_name in h),
+            default=float("inf"),
+        ) if self.ckpt_best is not None else float("inf")
         if self.ga_anneal_start is not None:
             self.log.info(
                 "guided-attn anneal recovered from history: started epoch %d",
@@ -409,6 +422,20 @@ class Trainer:
                 self.ckpt.save(int(jax.device_get(self.state.step)), self.state, epoch + 1)
                 with open(self.exp_dir / "history.json", "w") as f:
                     json.dump(history, f, indent=2)
+                row_metric = history[-1].get(best_metric_name)
+                if (
+                    self.ckpt_best is not None
+                    and row_metric is not None
+                    and row_metric < best_metric
+                ):
+                    best_metric = row_metric
+                    self.ckpt_best.save(
+                        int(jax.device_get(self.state.step)), self.state, epoch + 1
+                    )
+                    self.log.info(
+                        "new best %s %.4f at epoch %d -> checkpoints_best/",
+                        best_metric_name, row_metric, epoch,
+                    )
 
             if val_loss < best_val:
                 best_val, patience = val_loss, 0
@@ -420,5 +447,8 @@ class Trainer:
                     break
         # "epochs" counts epochs trained by THIS call — history also carries
         # the resumed epochs so the anneal trigger survives restarts
-        return {"best_val": best_val,
-                "epochs": len(history) - len(self.prev_history)}
+        out = {"best_val": best_val,
+               "epochs": len(history) - len(self.prev_history)}
+        if self.ckpt_best is not None and best_metric != float("inf"):
+            out["best_" + best_metric_name] = best_metric
+        return out
