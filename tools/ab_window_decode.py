@@ -3,7 +3,7 @@
 Round 5 made decode_attn_window > 0 (the flagship quality operating
 point — free MCD-DTW 5.76 at W=2 on the stacked checkpoint) run on the
 Pallas decode-step fast path instead of forcing the XLA per-op loop.
-This measures what that recovers on silicon: for B in {1, 4, 8} and
+This measures what that recovers on silicon: for B in {1, 8} and
 W in {0, 2}, KV-cached decode time with use_megakernel True vs False.
 Same-session A/B (one process, shared compile cache), best-of-3 windows
 of 4 reps, host readback as the sync point — the methodology of
@@ -55,7 +55,7 @@ def main():
     audio_s_per_frame = cfg.audio.hop_length / cfg.audio.sample_rate
 
     results = {}
-    for b in (1, 4, 8):
+    for b in (1, 8):
         phoneme = rng.integers(1, 80, (b, 128)).astype(np.int32)
         lens = np.full((b,), 96, np.int32)
         for win in (0, 2):
