@@ -172,7 +172,12 @@ def _kernel(
         # (infer/decode.py windowed decode)
         pos_ref = maybe_pos_ref[0]
         tp = ck_ref.shape[2]
-        col_f = jax.lax.broadcasted_iota(jnp.float32, (1, tp), 1)
+        # int32 iota + cast: Mosaic's tpu.iota must produce integers (a
+        # float iota lowers fine in interpret mode but is rejected on-chip
+        # — caught by the round-5 on-chip A/B at B=1)
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1).astype(
+            jnp.float32
+        )
         pos_acc = jnp.zeros((1, 1), jnp.float32)
 
     # decoder prenet (dropout off at inference — ref model/model.py:342)
