@@ -124,3 +124,8 @@ run package_stack_200 bash -c "
 # --- 7. final fresh bench for the driver ---
 run bench_final env BENCH_DEADLINE_S=1200 timeout 1500 python bench.py
 echo "[queue12] all jobs processed $(date -u +%FT%TZ)"
+# completion marker in a durable path (ADVICE r4: queue13 used to gate on
+# a grep of this script's log, which only exists if the operator used the
+# exact "> /tmp/r4_queue12.log" redirection)
+mkdir -p artifacts/.queue_state/markers
+touch artifacts/.queue_state/markers/r4b_done_queue12

@@ -16,7 +16,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
-until grep -q "all jobs processed" /tmp/r4_queue12.log 2>/dev/null; do
+# gate on queue12's repo-side completion marker (primary) or its log
+# line (fallback for runs launched before the marker existed)
+until [ -f artifacts/.queue_state/markers/r4b_done_queue12 ] ||       grep -q "all jobs processed" /tmp/r4_queue12.log 2>/dev/null; do
   sleep 60
 done
 
